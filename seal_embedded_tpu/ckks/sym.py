@@ -1,0 +1,119 @@
+"""Batched symmetric CKKS encode+encrypt pipeline (TPU).
+
+The reference hot path (seal_embedded.c:98-215 -> ckks_sym.c:181-301)
+re-designed as one jit-compiled batched graph:
+
+    encode (IFFT f64)  ->  + CBD error  ->  per prime:
+        a = uniform(shareable stream)      [c1]
+        c0 = -a * ntt(s) + ntt(reduce(pt + e))
+
+Batch axis = independent messages, each with its own (share_seed, err_seed)
+PRNG stream pair; the secret key is shared across the batch (the reference's
+device model).  All integer arithmetic is exact on TPU; with the CPU backend
+the whole pipeline is bit-exact against the C reference (validated in
+tests/test_pipeline.py against golden vectors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Parms
+from ..ops import keccak as kc
+from ..ops import modarith as ma
+from ..ops import sampling as sp
+from ..ops.encode import encode
+from ..ops.ntt import ntt
+
+
+def _ntt_s_for_prime(sk_signed, q: int):
+    """ntt(expand(s)) for one prime; sk_signed {-1,0,1} (..., n)."""
+    s_modq = sp.ternary_to_modq(sk_signed, q)
+    return ntt(s_modq, q)
+
+
+def sym_encrypt_batch(values, sk_signed, share_seed_words, err_seed_words,
+                      parms: Parms):
+    """Full batched symmetric encode+encrypt.
+
+    values:            f32 (B, <= n/2)
+    sk_signed:         i32 (n,) ternary secret key in {-1, 0, 1}
+    share_seed_words:  u32 (B, 16) per-message shareable seeds
+    err_seed_words:    u32 (B, 16) per-message error seeds
+    Returns dict with c0, c1: u32 (nprimes, B, n), pt, pte: i64 (B, n),
+    ok: bool (B,).
+    """
+    B = values.shape[0]
+    n = parms.degree
+
+    pt, ok_encode = encode(values, parms)
+
+    err_counter = jnp.zeros((B,), jnp.uint32)
+    e, _ = sp.sample_cbd(err_seed_words, err_counter, n)
+    pte = pt + e.astype(jnp.int64)
+
+    share_counter = jnp.zeros((B,), jnp.uint32)
+    ok = ok_encode
+    c0_list, c1_list = [], []
+    for q in parms.moduli:
+        a, share_counter, ok_u = sp.sample_uniform(
+            share_seed_words, share_counter, n, q)
+        ntt_s = _ntt_s_for_prime(sk_signed, q)          # (n,)
+        as_ = ma.mul_mod(a, ntt_s[None, :], q)          # a * ntt(s)
+        c0 = ma.neg_mod(as_, q)
+        pte_red = ma.reduce_pte_i64(pte, q)
+        ntt_pte = ntt(pte_red, q)
+        c0 = ma.add_mod(c0, ntt_pte, q)
+        c0_list.append(c0)
+        c1_list.append(a)
+        ok = ok & ok_u
+
+    return {
+        "c0": jnp.stack(c0_list),
+        "c1": jnp.stack(c1_list),
+        "pt": pt,
+        "pte": pte,
+        "ok": ok,
+    }
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def make_sym_encryptor(parms: Parms, layout: str = "reference"):
+    """Cached jit-compiled symmetric encryptor.
+
+    Uses the limb-scan pipeline (ckks/limbwise.py): bit-identical to
+    sym_encrypt_batch in "reference" layout, with an nprimes-fold smaller
+    compiled graph.
+    """
+    from .limbwise import sym_encrypt_limbscan
+    return jax.jit(partial(sym_encrypt_limbscan, parms=parms, layout=layout))
+
+
+@lru_cache(maxsize=16)
+def make_decryptor(parms: Parms):
+    return jax.jit(partial(decrypt_batch, parms=parms))
+
+
+def decrypt_batch(c0, c1, sk_signed, parms: Parms):
+    """Test oracle: per-prime decrypt to centered pte (i64 (nprimes, B, n)).
+
+    c0/c1: u32 (nprimes, B, n).
+    """
+    from ..ops.ntt import intt
+    outs = []
+    for i, q in enumerate(parms.moduli):
+        ntt_s = _ntt_s_for_prime(sk_signed, q)
+        pte_ntt = ma.add_mod(c0[i], ma.mul_mod(c1[i], ntt_s[None, :], q), q)
+        pte = intt(pte_ntt, q)
+        centered = jnp.where(pte > q // 2, pte.astype(jnp.int64) - q,
+                             pte.astype(jnp.int64))
+        outs.append(centered)
+    return jnp.stack(outs)

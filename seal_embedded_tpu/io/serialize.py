@@ -1,0 +1,190 @@
+"""Serialization: SEAL-Embedded wire/file formats.
+
+Byte-compatible with the reference's data contracts so that keys and
+ciphertexts interoperate with the reference device library and its SEAL
+adapter (reference: device/lib/fileops.{h,c}, adapter/fileops.{h,cpp},
+device/lib/util_print.h:478-519).
+
+Formats:
+  sk_<n>.dat            n/4 bytes, 2-bit packed ternary, big-endian in byte
+                        (value v of coeff i at bits [6-2*(i%4)] of byte i/4);
+                        stored {0,1,2} maps to {q-1, 0, 1} on expansion
+  pk<j>_ntt_<n>_<q>.dat n uint32 little-endian words, NTT form, per prime
+  index_map_<n>.dat     n uint16 little-endian
+  ifft_roots_<n>.dat    2n f64 little-endian (re, im interleaved)
+  ntt_roots_<n>_<q>.dat n uint32 LE: w^bitrev(i) table
+  ntt_fast_roots_...    2n uint32 LE: (operand, quotient) MUMO pairs
+  text polys            "name : { v0, v1, ..., vlast }" lines (print_poly_full)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+
+import numpy as np
+
+from ..config import Parms, barrett_quotient, bitrev
+
+
+# ---------------------------------------------------------------- secret key
+
+def pack_ternary(values) -> bytes:
+    """Pack coeffs given as file-encoded {0,1,2} values, 4 per byte."""
+    values = list(values)
+    n = len(values)
+    out = bytearray((n + 3) // 4)
+    for i, v in enumerate(values):
+        assert 0 <= v <= 2
+        out[i // 4] |= v << (6 - (i % 4) * 2)
+    return bytes(out)
+
+
+def unpack_ternary(data: bytes, n: int) -> list[int]:
+    return [(data[i // 4] >> (6 - (i % 4) * 2)) & 0x3 for i in range(n)]
+
+
+def signed_to_file_ternary(signed) -> list[int]:
+    """{-1,0,1} -> file encoding {0,1,2} (adapter fileops.cpp:70-73:
+    q-1 -> 0, 0 -> 1, 1 -> 2)."""
+    return [int(v) + 1 for v in signed]
+
+
+def write_sk(path: str, sk_packed: bytes) -> None:
+    with open(path, "wb") as f:
+        f.write(sk_packed)
+
+
+def read_sk(path: str, n: int) -> bytes:
+    with open(path, "rb") as f:
+        data = f.read(n // 4)
+    assert len(data) == n // 4
+    return data
+
+
+# ---------------------------------------------------------------- public key
+
+def write_pk(dirpath: str, parms: Parms, pk_components) -> None:
+    """pk_components: per prime (pk0, pk1) lists, NTT form
+    (adapter fileops.cpp:173-304 file naming)."""
+    n = parms.degree
+    for idx, q in enumerate(parms.moduli):
+        pk0, pk1 = pk_components[idx]
+        for j, pk in ((0, pk0), (1, pk1)):
+            path = os.path.join(dirpath, f"pk{j}_ntt_{n}_{q}.dat")
+            np.asarray(pk, dtype=np.uint32).astype("<u4").tofile(path)
+
+
+def read_pk_component(dirpath: str, j: int, n: int, q: int) -> np.ndarray:
+    path = os.path.join(dirpath, f"pk{j}_ntt_{n}_{q}.dat")
+    return np.fromfile(path, dtype="<u4", count=n)
+
+
+# ------------------------------------------------------------- precompute data
+
+def write_index_map(path: str, index_map) -> None:
+    np.asarray(index_map, dtype=np.uint16).astype("<u2").tofile(path)
+
+
+def write_ifft_roots(path: str, n: int, logn: int) -> None:
+    """IFFT root table in the adapter's order (generate.cpp:119-198):
+    roots[i] = conj(W^(bitrev(i-1, logn) + 1)), raw f64 bit patterns."""
+    import math
+    m = 2 * n
+    out = np.zeros(2 * n, dtype=np.float64)
+    for i in range(n):
+        k = (bitrev((i - 1) & (n - 1), logn) + 1) & (m - 1)
+        ang = 2 * math.pi * k / m
+        out[2 * i] = math.cos(ang)
+        out[2 * i + 1] = -math.sin(ang)
+    out.astype("<f8").tofile(path)
+
+
+def ntt_root_table(n: int, logn: int, q: int, w: int) -> np.ndarray:
+    """Regular forward table: table[i] = w^bitrev(i, logn) (ntt.c:40-52)."""
+    tbl = np.zeros(n, dtype=np.uint64)
+    power = 1
+    tbl[0] = 1
+    for i in range(1, n):
+        power = (power * w) % q
+        tbl[bitrev(i, logn)] = power
+    return tbl.astype(np.uint32)
+
+
+def ntt_fast_root_table(n: int, logn: int, q: int, w: int) -> np.ndarray:
+    """MUMO (operand, quotient) pairs (adapter generate.cpp:253-445)."""
+    ops = ntt_root_table(n, logn, q, w)
+    out = np.zeros(2 * n, dtype=np.uint32)
+    for i in range(n):
+        op = int(ops[i])
+        out[2 * i] = op
+        out[2 * i + 1] = barrett_quotient(op, q) & 0xFFFFFFFF
+    return out
+
+
+def write_ntt_roots(dirpath: str, parms: Parms, fast: bool = False) -> None:
+    n, logn = parms.degree, parms.logn
+    for q in parms.moduli:
+        w = parms.ntt_root(q)
+        if fast:
+            tbl = ntt_fast_root_table(n, logn, q, w)
+            path = os.path.join(dirpath, f"ntt_fast_roots_{n}_{q}.dat")
+        else:
+            tbl = ntt_root_table(n, logn, q, w)
+            path = os.path.join(dirpath, f"ntt_roots_{n}_{q}.dat")
+        tbl.astype("<u4").tofile(path)
+
+
+# ------------------------------------------------------------- text poly format
+
+def format_poly(name: str, values) -> str:
+    """print_poly_full text format (util_print.h:499-507)."""
+    body = ", ".join(str(int(v)) for v in values)
+    return f"{name} : {{ {body} }}\n"
+
+
+_POLY_RE = re.compile(r"^\s*(.+?)\s*:\s*\{\s*(.*?)\s*,?\s*\}\s*$")
+
+
+def parse_poly_line(line: str) -> tuple[str, list]:
+    """Parse one 'name : { v0, v1, ... }' line; values as int when possible,
+    else float (matches adapter fileops.h:221-300 parsing)."""
+    m = _POLY_RE.match(line)
+    if not m:
+        raise ValueError(f"not a poly line: {line[:80]!r}")
+    name, body = m.group(1), m.group(2)
+    vals = []
+    if body:
+        for tok in body.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            try:
+                vals.append(int(tok))
+            except ValueError:
+                vals.append(float(tok))
+    return name, vals
+
+
+def parse_poly_stream(lines) -> list[tuple[str, list]]:
+    out = []
+    for line in lines:
+        if ":" in line and "{" in line and "}" in line:
+            try:
+                out.append(parse_poly_line(line))
+            except ValueError:
+                pass
+    return out
+
+
+# ------------------------------------------------------------- ciphertext bytes
+
+def ct_component_bytes(component) -> bytes:
+    """One RNS component (list/array of n coeffs) -> n*4 LE bytes — the
+    payload the reference streams per prime (seal_embedded.c:196-203)."""
+    return np.asarray(component, dtype=np.uint32).astype("<u4").tobytes()
+
+
+def ct_component_from_bytes(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype="<u4")

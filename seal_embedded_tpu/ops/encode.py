@@ -1,0 +1,152 @@
+"""Batched CKKS encode for TPU (jnp path).
+
+Re-design of the reference encode (device/lib/ckks_common.c:105-215 +
+fft.c): slot placement via a precomputed gather (index map = generator-3
+orbit merged with bitrev), vectorized IFFT butterfly rounds over separate
+re/im f64 planes (TPU has no complex dtype; f64 is emulated), fused
+scale-and-round to int64.
+
+Precision note (measured, see golden/probe_f64.py): TPU f64 is NOT
+IEEE-bit-exact (double-double style emulation), but carries well over 40
+effective mantissa bits — far beyond the decode tolerance and the CKKS noise
+floor.  For strict bit-exactness against the C reference, run this same
+function on the CPU backend (`encode_host`), where XLA f64 is IEEE —
+validated bit-for-bit against golden vectors.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Parms, bitrev
+
+
+@lru_cache(maxsize=32)
+def index_map_np(n: int) -> np.ndarray:
+    """Precomputed index map (ckks_common.c:32-68)."""
+    from ..golden.encode import calc_index_map
+    return calc_index_map(n, n.bit_length() - 1).astype(np.int32)
+
+
+@lru_cache(maxsize=32)
+def ifft_root_tables(n: int) -> tuple[tuple[np.ndarray, np.ndarray], ...]:
+    """Per-round conjugated roots, f64 (re, im), group-indexed.
+
+    Round r (tt = 2^r, h = n >> (r+1)) uses s_j = conj(W^bitrev(h+j, logn))
+    for groups j = 0..h-1 (fft.c:119-143, OTF order) — computed with libm
+    cos/sin exactly like the reference.
+    """
+    logn = n.bit_length() - 1
+    m = 2 * n
+    out = []
+    h = n // 2
+    for _ in range(logn):
+        re = np.zeros(h, dtype=np.float64)
+        im = np.zeros(h, dtype=np.float64)
+        for j in range(h):
+            k = bitrev(h + j, logn) & (m - 1)
+            ang = 2.0 * math.pi * float(k) / float(m)
+            re[j] = math.cos(ang)
+            im[j] = -math.sin(ang)  # conjugate
+        out.append((re, im))
+        h //= 2
+    return tuple(out)
+
+
+@lru_cache(maxsize=32)
+def fft_root_tables(n: int) -> tuple[tuple[np.ndarray, np.ndarray], ...]:
+    """Per-round forward (decode) roots (fft.c:183-213)."""
+    logn = n.bit_length() - 1
+    m = 2 * n
+    out = []
+    h = 1
+    for _ in range(logn):
+        re = np.zeros(h, dtype=np.float64)
+        im = np.zeros(h, dtype=np.float64)
+        for j in range(h):
+            k = bitrev(h + j, logn) & (m - 1)
+            ang = 2.0 * math.pi * float(k) / float(m)
+            re[j] = math.cos(ang)
+            im[j] = math.sin(ang)
+        out.append((re, im))
+        h *= 2
+    return tuple(out)
+
+
+def encode(values, parms: Parms):
+    """values f32 (..., <= n/2) -> conj_vals_int int64 (..., n).
+
+    Bit-exact to ckks_encode_base on IEEE-f64 backends (CPU); decode-exact
+    on TPU.
+    """
+    n, logn = parms.degree, parms.logn
+    batch_shape = values.shape[:-1]
+    vlen = values.shape[-1]
+    imap = index_map_np(n)
+
+    v = values.astype(jnp.float64)
+    re = jnp.zeros(batch_shape + (n,), jnp.float64)
+    re = re.at[..., imap[:vlen]].set(v)
+    re = re.at[..., imap[n // 2: n // 2 + vlen]].set(v)
+    im = jnp.zeros(batch_shape + (n,), jnp.float64)
+
+    # IFFT rounds (fft.c:117-144): u' = u + w, w' = (u - w) * s.
+    tt, h = 1, n // 2
+    for (sre_np, sim_np) in ifft_root_tables(n):
+        bshape = (1,) * len(batch_shape)
+        sre = jnp.asarray(sre_np).reshape(bshape + (h, 1))
+        sim = jnp.asarray(sim_np).reshape(bshape + (h, 1))
+        re_v = re.reshape(batch_shape + (h, 2, tt))
+        im_v = im.reshape(batch_shape + (h, 2, tt))
+        ure, uim = re_v[..., 0, :], im_v[..., 0, :]
+        wre, wim = re_v[..., 1, :], im_v[..., 1, :]
+        dre, dim_ = ure - wre, uim - wim
+        nre = jnp.stack([ure + wre, dre * sre - dim_ * sim], axis=-2)
+        nim = jnp.stack([uim + wim, dre * sim + dim_ * sre], axis=-2)
+        re = nre.reshape(batch_shape + (n,))
+        im = nim.reshape(batch_shape + (n,))
+        tt, h = tt * 2, h // 2
+
+    n_inv = np.float64(parms.scale) / np.float64(n)
+    x = re * n_inv
+    # C99 round(): half away from zero (ckks_common.c:192).
+    coeff = jnp.where(x < 0, -jnp.floor(-x + 0.5), jnp.floor(x + 0.5))
+    ok = jnp.all(jnp.abs(coeff) <= np.float64(0x7FFFFFFFFFFFFFFF), axis=-1)
+    return coeff.astype(jnp.int64), ok
+
+
+def decode(pte_signed, parms: Parms):
+    """Decode oracle (test-side): signed int64 coeffs -> n/2 slot reals."""
+    n = parms.degree
+    batch_shape = pte_signed.shape[:-1]
+    re = pte_signed.astype(jnp.float64)
+    im = jnp.zeros_like(re)
+    h, tt = 1, n // 2
+    for (sre_np, sim_np) in fft_root_tables(n):
+        bshape = (1,) * len(batch_shape)
+        sre = jnp.asarray(sre_np).reshape(bshape + (h, 1))
+        sim = jnp.asarray(sim_np).reshape(bshape + (h, 1))
+        re_v = re.reshape(batch_shape + (h, 2, tt))
+        im_v = im.reshape(batch_shape + (h, 2, tt))
+        ure, uim = re_v[..., 0, :], im_v[..., 0, :]
+        wre = re_v[..., 1, :] * sre - im_v[..., 1, :] * sim
+        wim = re_v[..., 1, :] * sim + im_v[..., 1, :] * sre
+        re = jnp.stack([ure + wre, ure - wre], axis=-2).reshape(batch_shape + (n,))
+        im = jnp.stack([uim + wim, uim - wim], axis=-2).reshape(batch_shape + (n,))
+        h, tt = h * 2, tt // 2
+    imap = index_map_np(n)
+    return (re / np.float64(parms.scale))[..., imap[: n // 2]]
+
+
+def encode_host(values: np.ndarray, parms: Parms):
+    """Bit-exact encode on the CPU backend (IEEE f64), for golden-mode
+    pipelines running in a TPU process."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pt, ok = jax.jit(partial(encode, parms=parms))(jnp.asarray(values))
+        return np.asarray(pt), np.asarray(ok)

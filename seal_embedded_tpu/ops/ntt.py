@@ -1,0 +1,166 @@
+"""Batched negacyclic NTT/INTT for TPU (jnp reference path).
+
+Re-design of the reference NTT (device/lib/ntt.c) for TPU: instead of a
+scalar butterfly loop, each of the log2(n) rounds is a vectorized pairwise
+op over shape (..., h, 2, tt), batched over a leading ciphertext axis and
+mapped onto the 8x128 VPU lanes.  Uses the lazy Harvey accumulation in
+[0, 4q) with Shoup (MUMO) root multiplication (ntt.c:72-109) and a final
+correction to canonical [0, q) — bit-identical to the reference's output.
+
+Root tables are precomputed host-side, exactly like the adapter generates
+them (adapter/generate.cpp:253-445): table[i] = w^bitrev(i, logn) plus the
+Shoup quotient word.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import NTT_ROOTS, barrett_quotient, bitrev
+from .modarith import U32, mul_mod_shoup_lazy, mulhi, mullo, shift_result
+
+
+@lru_cache(maxsize=64)
+def ntt_tables(n: int, q: int) -> tuple[np.ndarray, np.ndarray]:
+    """(operand, quotient) forward tables, bitrev-indexed (ntt.c:40-52)."""
+    logn = n.bit_length() - 1
+    w = NTT_ROOTS[(n, q)]
+    op = np.zeros(n, dtype=np.uint32)
+    quot = np.zeros(n, dtype=np.uint32)
+    power = 1
+    for i in range(n):
+        idx = bitrev(i, logn)
+        op[idx] = power
+        quot[idx] = barrett_quotient(power, q) & 0xFFFFFFFF
+        power = (power * w) % q
+    return op, quot
+
+
+@lru_cache(maxsize=64)
+def intt_tables(n: int, q: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse-root tables, same indexing as forward (intt.c:511-605
+    semantics)."""
+    logn = n.bit_length() - 1
+    w = NTT_ROOTS[(n, q)]
+    winv = pow(w, q - 2, q)
+    op = np.zeros(n, dtype=np.uint32)
+    quot = np.zeros(n, dtype=np.uint32)
+    power = 1
+    for i in range(n):
+        idx = bitrev(i, logn)
+        op[idx] = power
+        quot[idx] = barrett_quotient(power, q) & 0xFFFFFFFF
+        power = (power * winv) % q
+    return op, quot
+
+
+def ntt(x, q: int):
+    """Forward negacyclic NTT over the last axis, scrambled (bit-reversed)
+    output order, canonical [0,q) output.  x: uint32 (..., n)."""
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    op_np, quot_np = ntt_tables(n, q)
+    op = jnp.asarray(op_np)
+    quot = jnp.asarray(quot_np)
+    batch_shape = x.shape[:-1]
+    v = x.astype(U32)
+    two_q = 2 * q
+
+    h, tt = 1, n // 2
+    for _ in range(logn):
+        v = v.reshape(batch_shape + (h, 2, tt))
+        u = v[..., 0, :]
+        w_ = v[..., 1, :]
+        # Root for group j of this round: table[h + j] (ntt.c:89).
+        s_op = op[h:2 * h].reshape((1,) * len(batch_shape) + (h, 1))
+        s_quot = quot[h:2 * h].reshape((1,) * len(batch_shape) + (h, 1))
+        # Harvey butterfly, values stay in [0, 4q) (ntt.c:93-106).
+        u = jnp.where(u >= two_q, u - two_q, u)
+        t = mul_mod_shoup_lazy(w_, s_op, s_quot, q)
+        v = jnp.stack([u + t, u + two_q - t], axis=-2)
+        h, tt = h * 2, tt // 2
+
+    v = v.reshape(batch_shape + (n,))
+    # Final correction [0,4q) -> [0,q) (ntt.c:171-185).
+    v = jnp.where(v >= two_q, v - two_q, v)
+    v = jnp.where(v >= q, v - q, v)
+    return v.astype(U32)
+
+
+def intt(x, q: int):
+    """Inverse of ntt(): canonical [0,q) coefficients (intt.c semantics,
+    including the 1/n fold)."""
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    op_np, quot_np = intt_tables(n, q)
+    op = jnp.asarray(op_np)
+    quot = jnp.asarray(quot_np)
+    batch_shape = x.shape[:-1]
+    v = x.astype(U32)
+
+    h, tt = n // 2, 1
+    for _ in range(logn):
+        v = v.reshape(batch_shape + (h, 2, tt))
+        u = v[..., 0, :]
+        w_ = v[..., 1, :]
+        s_op = op[h:2 * h].reshape((1,) * len(batch_shape) + (h, 1))
+        s_quot = quot[h:2 * h].reshape((1,) * len(batch_shape) + (h, 1))
+        add = shift_result((u + w_).astype(U32), q)
+        diff = shift_result((u + q - w_).astype(U32), q)
+        t = shift_result(mul_mod_shoup_lazy(diff, s_op, s_quot, q), q)
+        v = jnp.stack([add, t], axis=-2)
+        h, tt = h // 2, tt * 2
+
+    v = v.reshape(batch_shape + (n,))
+    ninv = pow(n, q - 2, q)
+    nq = barrett_quotient(ninv, q) & 0xFFFFFFFF
+    v = shift_result(
+        mul_mod_shoup_lazy(v, jnp.asarray(ninv, U32), jnp.asarray(nq, U32), q), q
+    )
+    return v.astype(U32)
+
+
+def pointwise_mul_mod(a, b, q):
+    """NTT-domain multiply = coefficient-wise mul mod q (ntt.h:66-85)."""
+    from .modarith import mul_mod
+    return mul_mod(a, b, q)
+
+
+def ntt_tables_stacked(n: int, moduli) -> tuple[np.ndarray, np.ndarray]:
+    """Forward tables stacked over the limb axis: u32 (L, n) each."""
+    ops, quots = zip(*(ntt_tables(n, int(q)) for q in moduli))
+    return np.stack(ops), np.stack(quots)
+
+
+def ntt_with_tables(x, op, quot, q):
+    """Forward NTT over the last axis with explicit (possibly traced) root
+    tables and modulus — the data-driven core used by limb-scan / shard_map
+    pipelines.  x: u32 (..., n); op/quot: u32 (n,) or broadcastable;
+    q: int, scalar tracer, or Mod."""
+    from .modarith import _q
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    batch_shape = x.shape[:-1]
+    v = x.astype(U32)
+    qv = jnp.asarray(_q(q)).astype(U32)
+    two_q = (qv * 2).astype(U32)
+
+    h, tt = 1, n // 2
+    for _ in range(logn):
+        v = v.reshape(batch_shape + (h, 2, tt))
+        u = v[..., 0, :]
+        w_ = v[..., 1, :]
+        s_op = op[..., h:2 * h].reshape((1,) * len(batch_shape) + (h, 1))
+        s_quot = quot[..., h:2 * h].reshape((1,) * len(batch_shape) + (h, 1))
+        u = jnp.where(u >= two_q, u - two_q, u)
+        t = mul_mod_shoup_lazy(w_, s_op, s_quot, qv)
+        v = jnp.stack([u + t, u + two_q - t], axis=-2)
+        h, tt = h * 2, tt // 2
+
+    v = v.reshape(batch_shape + (n,))
+    v = jnp.where(v >= two_q, v - two_q, v)
+    v = jnp.where(v >= qv, v - qv, v)
+    return v.astype(U32)

@@ -1,0 +1,223 @@
+"""Bit-exact vectorized samplers (jnp, batched over PRNG streams).
+
+Reproduces the reference's samplers (device/lib/sample.c) including their
+exact PRNG byte-consumption pattern, but re-designed for TPU as batched
+counter-mode expansion:
+
+* The reference's rejection loops consume fresh PRNG calls (new counters) per
+  rejected value, sequentially.  We exploit a queue equivalence: the extra
+  draws form a single ordered queue of counters c+1, c+2, ...; the j-th
+  rejected base position consumes queue entries up to (and including) the
+  j-th *accepted* queue entry.  So: precompute a bounded queue of draws in
+  one batched SHAKE call, compute per-entry acceptance, and rank-select —
+  no sequential loop, bit-exact.
+
+* All shapes static; per-stream counters ride as data.  Overflow of the
+  static queue bound is detected and surfaced via an `ok` flag (probability
+  < 1e-20 per stream at the chosen bounds).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .keccak import RATE_WORDS, shake256_words
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+# Static queue bounds.  Uniform: E[#rejects] ~ n*q/2^32 (~76 @ n=4096,
+# 30-bit q); bound is +10 sigma.  Ternary: per 96-byte block E ~ 0.75.
+UNIFORM_QUEUE_CAP = 160
+TERNARY_QUEUE_CAP = 8
+
+
+def _blocks_for_bytes(nbytes: int) -> int:
+    return -(-nbytes // 136)
+
+
+def _counter_pair(counter):
+    """uint32 (...,) call counter -> (..., 2) (lo, hi) pair.  Counters are
+    64-bit in the reference; we track them as u32 lo + u32 hi."""
+    lo = counter.astype(U32)
+    hi = jnp.zeros_like(lo)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _words_to_bytes(words):
+    """u32 (..., W) -> uint32-valued bytes (..., 4W) (LE order)."""
+    b0 = words & 0xFF
+    b1 = (words >> 8) & 0xFF
+    b2 = (words >> 16) & 0xFF
+    b3 = (words >> 24) & 0xFF
+    out = jnp.stack([b0, b1, b2, b3], axis=-1)
+    return out.reshape(out.shape[:-2] + (words.shape[-1] * 4,))
+
+
+def _scatter_last(target, idx, vals):
+    """target[..., idx[..., m]] = vals[..., m] along the last axis; indices
+    equal to target.shape[-1] (and beyond) are dropped."""
+    flat_t = target.reshape(-1, target.shape[-1])
+    flat_i = idx.reshape(-1, idx.shape[-1])
+    flat_v = vals.reshape(-1, vals.shape[-1])
+    rows = jnp.arange(flat_t.shape[0])[:, None]
+    flat_t = flat_t.at[rows, flat_i].set(flat_v, mode="drop")
+    return flat_t.reshape(target.shape)
+
+
+def _rank_select(base_vals, rejected, queue_vals, queue_acc):
+    """Queue equivalence core.
+
+    base_vals: (..., n) initial draws; rejected: mask of base rejections.
+    queue_vals/queue_acc: (..., CAP) extra draws + acceptance.
+    Returns (final_vals, consumed, ok): final value per position, number of
+    queue slots consumed, and a validity flag (per stream).
+
+    Correctness: the reference's rejection loop consumes counters c+1, c+2,...
+    strictly in order of (position, retry); therefore the j-th rejected base
+    position ends up with the j-th accepted value in that counter order.
+    """
+    cap = queue_vals.shape[-1]
+    # Rank of each rejected base position (1-indexed among rejected).
+    j = jnp.cumsum(rejected.astype(I32), axis=-1)
+    num_rejected = jnp.where(rejected.any(axis=-1), j[..., -1], 0)
+
+    # Rank of each accepted queue slot (1-indexed among accepted).
+    qrank = jnp.cumsum(queue_acc.astype(I32), axis=-1)
+    num_accepted = qrank[..., -1]
+
+    # accepted_vals[r] = value of the (r+1)-th accepted queue slot;
+    # accepted_pos[r] = its queue position.
+    idx = jnp.where(queue_acc, qrank - 1, cap)  # cap == dropped
+    out_shape = queue_vals.shape[:-1] + (cap,)
+    accepted_vals = _scatter_last(jnp.zeros(out_shape, queue_vals.dtype),
+                                  idx, queue_vals)
+    pos = jnp.broadcast_to(jnp.arange(cap, dtype=I32),
+                           queue_vals.shape[:-1] + (cap,))
+    accepted_pos = _scatter_last(jnp.zeros(out_shape, I32), idx, pos)
+
+    final = jnp.where(
+        rejected,
+        jnp.take_along_axis(accepted_vals, jnp.clip(j - 1, 0, cap - 1), axis=-1),
+        base_vals,
+    )
+    # Consumed slots = queue position of the last needed accepted entry + 1.
+    last_pos = jnp.take_along_axis(
+        accepted_pos, jnp.clip(num_rejected - 1, 0, cap - 1)[..., None], axis=-1
+    )[..., 0]
+    consumed = jnp.where(num_rejected > 0, last_pos + 1, 0)
+    ok = num_rejected <= num_accepted
+    return final, consumed.astype(U32), ok
+
+
+def sample_uniform(seed_words, counter, n: int, q):
+    """sample_poly_uniform (sample.c:39-57), batched.
+
+    seed_words: u32 (16,) or broadcastable; counter: u32 (...,) current PRNG
+    counter per stream; q: int or Mod (supports per-limb traced moduli).
+    Returns (poly u32 (..., n), next_counter, ok).
+    """
+    from .modarith import as_mod, barrett32
+    m = as_mod(q)
+    max_multiple = m.max_multiple
+    nblocks = _blocks_for_bytes(4 * n)
+    base_words = shake256_words(seed_words, _counter_pair(counter), nblocks)
+    base = base_words[..., :n]
+    rejected = base >= max_multiple
+
+    # Extra-draw queue: counters counter+1 .. counter+CAP; value = first word.
+    qcounters = counter[..., None] + 1 + jnp.arange(UNIFORM_QUEUE_CAP, dtype=U32)
+    qwords = shake256_words(seed_words, _counter_pair(qcounters), 1)
+    qvals = qwords[..., 0]
+    qacc = qvals < max_multiple
+
+    final, consumed, ok = _rank_select(base, rejected, qvals, qacc)
+    poly = barrett32(final, m)
+    next_counter = counter + 1 + consumed
+    return poly, next_counter, ok
+
+
+def _ternary_block(seed_words, counter, count_here: int):
+    """One 96-byte ternary block + its rejection queue (sample.c:223-241)."""
+    base_words = shake256_words(seed_words, _counter_pair(counter), 1)
+    base_bytes = _words_to_bytes(base_words[..., :24])  # 96 bytes
+    rejected = base_bytes >= 0xFE
+
+    qcounters = counter[..., None] + 1 + jnp.arange(TERNARY_QUEUE_CAP, dtype=U32)
+    qwords = shake256_words(seed_words, _counter_pair(qcounters), 1)
+    qvals = qwords[..., 0] & 0xFF  # first byte of each 1-byte refill
+    qacc = qvals < 0xFE
+
+    # The reference touches only the first count_here bytes of a tail block
+    # (sample.c:228), so later rejections consume nothing.
+    if count_here < 96:
+        rejected = rejected & (jnp.arange(96) < count_here)
+    final, consumed, ok = _rank_select(base_bytes, rejected, qvals, qacc)
+    vals = (final % 3).astype(I32) - 1  # {0,1,2} -> {-1,0,1}
+    return vals, counter + 1 + consumed, ok
+
+
+def sample_ternary(seed_words, counter, n: int):
+    """sample_small_poly_ternary_prng_96 (sample.c:218-242), batched.
+
+    Returns (signed {-1,0,1} i32 (..., n), next_counter, ok).  The packed
+    2-bit form for serialization derives as signed+1.  Full blocks run under
+    one lax.scan (single compiled Keccak body); the tail block, if any, is
+    traced separately.
+    """
+    nfull, tail = divmod(n, 96)
+
+    def step(carry, _):
+        counter, ok = carry
+        vals, counter, ok_b = _ternary_block(seed_words, counter, 96)
+        return (counter, ok & ok_b), vals
+
+    ok0 = jnp.ones(counter.shape, bool)
+    if nfull > 0:
+        (counter, ok), blocks = jax.lax.scan(
+            step, (counter, ok0), None, length=nfull)
+        # blocks: (nfull, ..., 96) -> (..., nfull*96)
+        blocks = jnp.moveaxis(blocks, 0, -2)
+        signed = blocks.reshape(blocks.shape[:-2] + (nfull * 96,))
+    else:
+        ok = ok0
+        signed = jnp.zeros(counter.shape + (0,), I32)
+    if tail:
+        vals, counter, ok_t = _ternary_block(seed_words, counter, tail)
+        signed = jnp.concatenate([signed, vals[..., :tail]], axis=-1)
+        ok = ok & ok_t
+    return signed, counter, ok
+
+
+_HW_TABLE = None
+
+
+def _popcount8(b):
+    """Hamming weight of byte-valued u32 array (sample.c:263-269)."""
+    t = b - ((b >> 1) & 0x55)
+    t = (t & 0x33) + ((t >> 2) & 0x33)
+    return (t + (t >> 4)) & 0x0F
+
+
+def sample_cbd(seed_words, counter, n: int):
+    """sample_poly_cbd_generic_prng_16 (sample.c:311-321), batched.
+
+    No rejection: n/16 fills of 96 bytes each, deterministic counters.
+    Returns (err i32 (..., n) in [-63, 63], next_counter).
+    """
+    nfills = -(-n // 16)
+    fcounters = counter[..., None] + jnp.arange(nfills, dtype=U32)
+    words = shake256_words(seed_words, _counter_pair(fcounters), 1)
+    by = _words_to_bytes(words[..., :24])  # (..., nfills, 96)
+    by = by.reshape(by.shape[:-2] + (nfills * 16, 6))[..., :n, :]
+    hw = _popcount8(by)
+    val = (hw[..., 0] + hw[..., 1] + _popcount8(by[..., 2] & 0x1F)
+           - hw[..., 3] - hw[..., 4] - _popcount8(by[..., 5] & 0x1F))
+    return val.astype(I32), counter + nfills
+
+
+def ternary_to_modq(signed, q: int):
+    """{-1,0,1} -> {q-1, 0, 1} mod-q representation (sample.c:98-111)."""
+    return jnp.where(signed < 0, jnp.asarray(q - 1, U32),
+                     signed.astype(U32)).astype(U32)
