@@ -1,0 +1,156 @@
+"""Host-side adapter: keygen, precompute-data generation, ct verification.
+
+The TPU-framework edition of the reference's `adapter/` program
+(adapter/adapter.cpp:171-353): option 1 "generate everything" becomes
+`generate`, option 2 "verify ciphertexts" becomes `verify`.  Where the
+reference links Microsoft SEAL, this adapter uses the framework's own
+bit-exact golden model (seal_embedded_tpu.golden) — itself validated
+word-for-word against the reference C library (tests/, golden/).
+
+The generated files are byte-compatible with the reference device library's
+loaders (device/lib/fileops.c:140-392), so an unmodified SEAL-Embedded
+build can consume keys produced here — the reverse-direction
+interoperability check used by .claude/skills/verify.
+
+Usage:
+    python -m seal_embedded_tpu.adapter generate --out DIR [--degree 4096]
+        [--nprimes 3] [--sk-seed HEX64] [--pk-seed HEX64]
+    python -m seal_embedded_tpu.adapter verify --sk DIR/sk_<n>.dat CT_FILE
+        [--degree 4096] [--nprimes 3] [--values VALUES_FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .config import Parms, default_parms
+from .io import serialize
+
+
+def gen_save_all(outdir: str, degree: int = 4096, nprimes: int = 3,
+                 sk_seed: bytes | None = None,
+                 pk_seed: bytes | None = None) -> dict:
+    """Generate sk, pk, index map, IFFT roots, NTT/INTT regular+fast root
+    tables (adapter.cpp menu option 1; generate.h:45-102)."""
+    from .golden.ckks import gen_pk
+    from .golden.prng import Prng
+    from .golden.sampling import sample_small_poly_ternary_96
+
+    os.makedirs(outdir, exist_ok=True)
+    parms = default_parms(degree, nprimes)
+    n = degree
+
+    # Keygen runs on the host golden model (bit-exact, no compiles):
+    # keygen is a one-time offline step, not a throughput path.
+    sk_seed = sk_seed or os.urandom(64)
+    sk_packed = sample_small_poly_ternary_96(n, Prng(sk_seed))
+    serialize.write_sk(os.path.join(outdir, f"sk_{n}.dat"), sk_packed)
+
+    pk = gen_pk(parms, sk_packed, seed=pk_seed or os.urandom(64))
+    serialize.write_pk(outdir, parms, pk.components)
+
+    from .ops.encode import index_map_np
+    serialize.write_index_map(
+        os.path.join(outdir, f"index_map_{n}.dat"), index_map_np(n))
+    serialize.write_ifft_roots(
+        os.path.join(outdir, f"ifft_roots_{n}.dat"), n, parms.logn)
+    serialize.write_ntt_roots(outdir, parms, fast=False)
+    serialize.write_ntt_roots(outdir, parms, fast=True)
+    serialize.write_intt_roots(outdir, parms, fast=False)
+    serialize.write_intt_roots(outdir, parms, fast=True)
+    return {"parms": parms, "sk_packed": sk_packed, "pk": pk,
+            "outdir": outdir}
+
+
+def verify_ciphertexts(ct_path: str, sk_path: str, degree: int = 4096,
+                       nprimes: int = 3,
+                       values_path: str | None = None,
+                       tol: float = 0.4) -> bool:
+    """Decrypt+decode printed ciphertext dumps (adapter.cpp:32-169).
+
+    ct_path: text file of 'name : { ... }' lines as produced by the
+    reference's api tests / our io.serialize.format_poly, containing
+    c0/c1 lines per prime per test (and optionally the cleartext values).
+    """
+    from .golden.ckks import decrypt_component
+    from .golden.encode import decode
+
+    parms = default_parms(degree, nprimes)
+    n = degree
+    packed = serialize.read_sk(sk_path, n)
+
+    with open(ct_path) as f:
+        polys = serialize.parse_poly_stream(f)
+    c0s = [np.array(v, dtype=np.uint32) for name, v in polys
+           if name.strip().startswith("c0")]
+    c1s = [np.array(v, dtype=np.uint32) for name, v in polys
+           if name.strip().startswith("c1")]
+    values = [np.array(v, dtype=np.float64) for name, v in polys
+              if "v" in name.split(":")[0] and not name.strip().startswith(
+                  ("c0", "c1"))]
+    if values_path:
+        with open(values_path) as f:
+            values = [np.array(v, dtype=np.float64)
+                      for _, v in serialize.parse_poly_stream(f)]
+    assert len(c0s) == len(c1s) and len(c0s) % nprimes == 0, \
+        f"need c0/c1 per prime; got {len(c0s)}/{len(c1s)}"
+    ntests = len(c0s) // nprimes
+
+    ok_all = True
+    for t in range(ntests):
+        centered = decrypt_component(
+            parms, 0, c0s[t * nprimes].tolist(),
+            c1s[t * nprimes].tolist(), packed)
+        dec = np.asarray(decode(parms, centered))
+        if t < len(values):
+            want = values[t][: n // 2]
+            err = float(np.abs(dec[: len(want)] - want).max())
+            ok = err < tol
+            ok_all &= ok
+            print(f"test {t}: decode err {err:.4g} "
+                  f"{'OK' if ok else 'FAIL'}")
+        else:
+            print(f"test {t}: decoded (no cleartext to compare); "
+                  f"first slots {dec[:4]}")
+    return ok_all
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="seal_embedded_tpu.adapter")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="keygen + all precompute files")
+    g.add_argument("--out", required=True)
+    g.add_argument("--degree", type=int, default=4096)
+    g.add_argument("--nprimes", type=int, default=3)
+    g.add_argument("--sk-seed", default=None, help="hex, up to 64 bytes")
+    g.add_argument("--pk-seed", default=None)
+
+    v = sub.add_parser("verify", help="decrypt+decode printed ct dumps")
+    v.add_argument("ct_file")
+    v.add_argument("--sk", required=True)
+    v.add_argument("--degree", type=int, default=4096)
+    v.add_argument("--nprimes", type=int, default=3)
+    v.add_argument("--values", default=None)
+
+    args = p.parse_args(argv)
+    if args.cmd == "generate":
+        sk_seed = bytes.fromhex(args.sk_seed) if args.sk_seed else None
+        pk_seed = bytes.fromhex(args.pk_seed) if args.pk_seed else None
+        out = gen_save_all(args.out, args.degree, args.nprimes,
+                           sk_seed, pk_seed)
+        print(f"wrote keys + tables for n={args.degree}, "
+              f"{args.nprimes} primes to {out['outdir']}")
+        return 0
+    ok = verify_ciphertexts(args.ct_file, args.sk, args.degree,
+                            args.nprimes, args.values)
+    print("VERIFY " + ("PASSED" if ok else "FAILED"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,12 +102,14 @@ def sym_encrypt_from_pte(pte, sk_signed, share_words, parms: Parms,
 
 
 def sym_encrypt_limbscan(values, sk_signed, share_words, err_words,
-                         parms: Parms, layout: str = "reference"):
+                         parms: Parms, layout: str = "reference",
+                         encode_mode: str = "f64"):
     """Batched symmetric encode+encrypt: on-device encode + CBD error, then
     the integer limb pipeline."""
+    from ..ops.encode import encode_any
     B = values.shape[0]
     n = parms.degree
-    pt, ok_encode = encode(values, parms)
+    pt, ok_encode = encode_any(values, parms, encode_mode)
     e, _ = sp.sample_cbd(err_words, jnp.zeros((B,), jnp.uint32), n)
     pte = pt + e.astype(jnp.int64)
     out = sym_encrypt_from_pte(pte, sk_signed, share_words, parms,
@@ -124,8 +126,10 @@ def add_cbd_error(pt, err_words, n: int):
 
 
 @lru_cache(maxsize=16)
-def make_limbscan_encryptor(parms: Parms, layout: str = "reference"):
-    return jax.jit(partial(sym_encrypt_limbscan, parms=parms, layout=layout))
+def make_limbscan_encryptor(parms: Parms, layout: str = "reference",
+                            encode_mode: str = "f64"):
+    return jax.jit(partial(sym_encrypt_limbscan, parms=parms, layout=layout,
+                           encode_mode=encode_mode))
 
 
 @lru_cache(maxsize=16)

@@ -99,7 +99,8 @@ def gen_pk(parms: Parms, sk_packed: bytes, seed: bytes = b"",
     n, logn = parms.degree, parms.logn
     shareable_prng = Prng(seed)
     if ep is None:
-        ep_prng = Prng(seed + b"ep")
+        import hashlib
+        ep_prng = Prng(hashlib.shake_256(seed + b"ep").digest(64))
         ep = sample_poly_cbd_16(n, ep_prng)
     components = []
     for q in parms.moduli:

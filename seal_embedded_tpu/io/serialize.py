@@ -136,6 +136,44 @@ def write_ntt_roots(dirpath: str, parms: Parms, fast: bool = False) -> None:
         tbl.astype("<u4").tofile(path)
 
 
+def intt_root_table(n: int, logn: int, q: int, w: int) -> np.ndarray:
+    """Inverse-root table in the reference's INTT order (intt.c:30-56):
+    table[bitrev(i-1, logn) + 1] = inv_w^i, table[0] = 1."""
+    inv_w = pow(w, q - 2, q)
+    tbl = np.zeros(n, dtype=np.uint64)
+    tbl[0] = 1
+    power = inv_w
+    for i in range(1, n):
+        tbl[bitrev(i - 1, logn) + 1] = power
+        power = (power * inv_w) % q
+    return tbl.astype(np.uint32)
+
+
+def intt_fast_root_table(n: int, logn: int, q: int, w: int) -> np.ndarray:
+    """INTT MUMO (operand, quotient) pairs (adapter generate.cpp inverse
+    path)."""
+    ops = intt_root_table(n, logn, q, w)
+    out = np.zeros(2 * n, dtype=np.uint32)
+    for i in range(n):
+        op = int(ops[i])
+        out[2 * i] = op
+        out[2 * i + 1] = barrett_quotient(op, q) & 0xFFFFFFFF
+    return out
+
+
+def write_intt_roots(dirpath: str, parms: Parms, fast: bool = False) -> None:
+    n, logn = parms.degree, parms.logn
+    for q in parms.moduli:
+        w = parms.ntt_root(q)
+        if fast:
+            tbl = intt_fast_root_table(n, logn, q, w)
+            path = os.path.join(dirpath, f"intt_fast_roots_{n}_{q}.dat")
+        else:
+            tbl = intt_root_table(n, logn, q, w)
+            path = os.path.join(dirpath, f"intt_roots_{n}_{q}.dat")
+        tbl.astype("<u4").tofile(path)
+
+
 # ------------------------------------------------------------- text poly format
 
 def format_poly(name: str, values) -> str:

@@ -120,6 +120,99 @@ def encode(values, parms: Parms):
     return coeff.astype(jnp.int64), ok
 
 
+@lru_cache(maxsize=32)
+def ifft_root_tables_dd(n: int):
+    """IFFT root tables as double-double f32 pairs (hi, lo) per round."""
+    from .dd import dd_from_f64
+    out = []
+    for re, im in ifft_root_tables(n):
+        out.append((dd_from_f64(re), dd_from_f64(im)))
+    return tuple(out)
+
+
+def encode_dd(values, parms: Parms):
+    """TPU-fast encode: double-double f32 IFFT (see ops/dd.py).
+
+    Same math as encode() but ~2^-45 relative accuracy instead of f64's
+    2^-53 — decode-exact, and ~100x faster than XLA's emulated f64 on TPU.
+    Returns (conj_vals_int int64 (..., n), ok).
+    """
+    from . import dd
+
+    n = parms.degree
+    batch_shape = values.shape[:-1]
+    vlen = values.shape[-1]
+    imap = index_map_np(n)
+
+    v = values.astype(jnp.float32)
+    re_h = jnp.zeros(batch_shape + (n,), jnp.float32)
+    re_h = re_h.at[..., imap[:vlen]].set(v)
+    re_h = re_h.at[..., imap[n // 2: n // 2 + vlen]].set(v)
+    re_l = jnp.zeros_like(re_h)
+    im_h = jnp.zeros_like(re_h)
+    im_l = jnp.zeros_like(re_h)
+
+    tt, h = 1, n // 2
+    for (sre_dd, sim_dd) in ifft_root_tables_dd(n):
+        bshape = (1,) * len(batch_shape) + (h, 1)
+        srh = jnp.asarray(sre_dd[0]).reshape(bshape)
+        srl = jnp.asarray(sre_dd[1]).reshape(bshape)
+        sih = jnp.asarray(sim_dd[0]).reshape(bshape)
+        sil = jnp.asarray(sim_dd[1]).reshape(bshape)
+
+        def pair(x):
+            return x.reshape(batch_shape + (h, 2, tt))
+
+        re_hv, re_lv = pair(re_h), pair(re_l)
+        im_hv, im_lv = pair(im_h), pair(im_l)
+        urh, url = re_hv[..., 0, :], re_lv[..., 0, :]
+        uih, uil = im_hv[..., 0, :], im_lv[..., 0, :]
+        wrh, wrl = re_hv[..., 1, :], re_lv[..., 1, :]
+        wih, wil = im_hv[..., 1, :], im_lv[..., 1, :]
+
+        # u' = u + w
+        arh, arl = dd.dd_add(urh, url, wrh, wrl)
+        aih, ail = dd.dd_add(uih, uil, wih, wil)
+        # d = u - w;  w' = d * s (complex)
+        drh, drl = dd.dd_sub(urh, url, wrh, wrl)
+        dih, dil = dd.dd_sub(uih, uil, wih, wil)
+        p1h, p1l = dd.dd_mul(drh, drl, srh, srl)
+        p2h, p2l = dd.dd_mul(dih, dil, sih, sil)
+        brh, brl = dd.dd_sub(p1h, p1l, p2h, p2l)
+        p3h, p3l = dd.dd_mul(drh, drl, sih, sil)
+        p4h, p4l = dd.dd_mul(dih, dil, srh, srl)
+        bih, bil = dd.dd_add(p3h, p3l, p4h, p4l)
+
+        def unpair(a, b):
+            return jnp.stack([a, b], axis=-2).reshape(batch_shape + (n,))
+
+        re_h, re_l = unpair(arh, brh), unpair(arl, brl)
+        im_h, im_l = unpair(aih, bih), unpair(ail, bil)
+        tt, h = tt * 2, h // 2
+
+    sc_h, sc_l = (np.float32(x) for x in _scale_over_n_dd(parms))
+    xh, xl = dd.dd_mul(re_h, re_l, sc_h, sc_l)
+    coeff = dd.dd_round_away(xh, xl)
+    ok = jnp.all(jnp.abs(xh) <= np.float32(9.2e18), axis=-1)
+    return coeff, ok
+
+
+def _scale_over_n_dd(parms: Parms):
+    from .dd import dd_from_f64
+    hi, lo = dd_from_f64(np.float64(parms.scale) / np.float64(parms.degree))
+    return float(hi), float(lo)
+
+
+def encode_any(values, parms: Parms, mode: str = "dd"):
+    """Dispatch between encode precisions: 'f64' (bit-exact on CPU),
+    'dd' (TPU-fast, decode-exact)."""
+    if mode == "f64":
+        return encode(values, parms)
+    if mode == "dd":
+        return encode_dd(values, parms)
+    raise ValueError(f"unknown encode mode {mode!r}")
+
+
 def decode(pte_signed, parms: Parms):
     """Decode oracle (test-side): signed int64 coeffs -> n/2 slot reals."""
     n = parms.degree

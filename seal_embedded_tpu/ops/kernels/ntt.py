@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: batched negacyclic NTT, all stages VMEM-resident.
+
+The jnp NTT (ops/ntt.py) round-trips (B, n) arrays through HBM once per
+butterfly stage (12x for n=4096), which makes it bandwidth-bound far off
+roofline.  This kernel re-designs the layout TPU-first:
+
+* coefficient-major blocks ``(n, B_TILE)``: the batch rides the 128 VPU
+  lanes, butterflies pair rows along the *major* axis — no lane shuffles;
+* all log2(n) stages run back-to-back in VMEM — HBM sees exactly one read
+  and one write of the data;
+* 4-step structure: stages with pair distance >= 8 rows are tile-aligned
+  major-axis reshapes; then one in-VMEM (n/8, 8) -> (8, n/8) transpose
+  makes the final three stages (distance 4, 2, 1 — which would otherwise
+  force 8x sublane padding) tile-aligned as well, against a host-side
+  permuted root table (see _permuted_tables);
+* root tables arrive lane-broadcast from HBM via an explicit DMA into
+  single-buffered VMEM scratch (re-loaded only when the limb changes);
+* the RNS limb axis is a grid dimension: q rides in SMEM — one compiled
+  kernel serves the whole modulus chain.
+
+Output is the canonical [0, q) scrambled-order NTT — bit-identical to the
+reference's ntt_inpl (device/lib/ntt.c:72-185): the lazy Harvey
+accumulation in [0, 4q) with a final correction is value-equivalent mod q
+and this kernel reduces outputs exactly like the reference does.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ntt import ntt_tables
+
+B_TILE = 128
+_MASK16 = 0xFFFF
+
+
+def _mulhi(a, b):
+    """High 32 bits of u32 a*b via 16-bit limbs (uint_arith.h:67 recipe)."""
+    a0, a1 = a & _MASK16, a >> 16
+    b0, b1 = b & _MASK16, b >> 16
+    lo = a0 * b0
+    t = a1 * b0 + (lo >> 16)
+    t2 = a0 * b1 + (t & _MASK16)
+    return (a1 * b1 + (t >> 16) + (t2 >> 16)).astype(jnp.uint32)
+
+
+def _shoup_lazy(x, y_op, y_quot, q):
+    """Lazy Shoup multiply in [0, 2q) (uintmodarith.h:308-331)."""
+    return (x * y_op - _mulhi(x, y_quot) * q).astype(jnp.uint32)
+
+
+def _permute_table(tab: np.ndarray) -> np.ndarray:
+    """Bitrev-indexed root table -> kernel order for the transposed tail.
+
+    Rows [0, n/4) stay (used by the distance>=8 stages and, tiled x4, by
+    the distance-4 stage).  The distance-2 stage's rows [n/4, n/2) are
+    pair-deinterleaved; the distance-1 stage's rows [n/2, n) are
+    quad-deinterleaved — so that in the transposed (8, n/8) layout every
+    stage reads a contiguous, tile-aligned slice.
+    """
+    n = tab.shape[0]
+    m = n // 8
+    out = np.empty_like(tab)
+    out[: n // 4] = tab[: n // 4]
+    for g in range(2):
+        out[n // 4 + g * m: n // 4 + (g + 1) * m] = tab[n // 4 + g::2][:m]
+    for k in range(4):
+        out[n // 2 + k * m: n // 2 + (k + 1) * m] = tab[n // 2 + k::4][:m]
+    return out
+
+
+def _make_ntt_kernel(n: int, logn: int):
+    m = n // 8
+
+    def kernel(q_ref, op_hbm, quot_hbm, x_ref, o_ref, op_vm, quot_vm, sems):
+        v_vm = o_ref.at[0]  # output block doubles as the working buffer
+        l = pl.program_id(0)
+        q = q_ref[l, 0]
+        two_q = (q * jnp.uint32(2)).astype(jnp.uint32)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            _i0, _i1 = np.int32(0), np.int32(1)  # x64 would make these i64
+            cp0 = pltpu.make_async_copy(op_hbm.at[l], op_vm, sems.at[_i0])
+            cp1 = pltpu.make_async_copy(quot_hbm.at[l], quot_vm, sems.at[_i1])
+            cp0.start()
+            cp1.start()
+            cp0.wait()
+            cp1.wait()
+
+        def lazy_corr(u):
+            return jnp.where(u >= two_q, u - two_q, u)
+
+        def bfly(u, w, s_op, s_quot):
+            u = lazy_corr(u)
+            t = _shoup_lazy(w, s_op, s_quot, q)
+            return u + t, u + two_q - t
+
+        v_vm[:] = x_ref[0]  # (n, B_TILE) u32
+
+        # Head: pair distance tt >= 8 — tile-aligned reshapes.
+        h, tt = 1, n // 2
+        while tt >= 8:
+            v = v_vm[:].reshape(h, 2, tt, B_TILE)
+            s_op = op_vm[h:2 * h].reshape(h, 1, B_TILE)
+            s_quot = quot_vm[h:2 * h].reshape(h, 1, B_TILE)
+            a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
+            v_vm[:] = jnp.stack([a, b], axis=1).astype(
+                jnp.uint32).reshape(n, B_TILE)
+            h, tt = h * 2, tt // 2
+
+        # Transpose (n/8, 8, B) -> (8, n/8, B): row a*8+b -> b*(n/8)+a.
+        v_vm[:] = jnp.swapaxes(
+            v_vm[:].reshape(m, 8, B_TILE), 0, 1).reshape(n, B_TILE)
+
+        # Tail in transposed layout: distances 4, 2, 1 become m*4, m*2, m.
+        # tt = 4 (h = n/8): one group pair at halves; root row n/8 + a.
+        v = v_vm[:]
+        u, w = v[: n // 2], v[n // 2:]
+        s_op = pltpu.repeat(op_vm[n // 8: n // 4], 4, 0)
+        s_quot = pltpu.repeat(quot_vm[n // 8: n // 4], 4, 0)
+        a, b = bfly(u, w, s_op, s_quot)
+        v_vm[:] = jnp.concatenate([a, b], axis=0).astype(jnp.uint32)
+
+        # tt = 2 (h = n/4): 2 groups; deinterleaved root rows.
+        v = v_vm[:].reshape(2, 2, n // 4, B_TILE)
+        s_op = jnp.stack([pltpu.repeat(op_vm[n // 4 + g * m:
+                                             n // 4 + (g + 1) * m], 2, 0)
+                          for g in range(2)])
+        s_quot = jnp.stack([pltpu.repeat(quot_vm[n // 4 + g * m:
+                                                 n // 4 + (g + 1) * m], 2, 0)
+                            for g in range(2)])
+        a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
+        v_vm[:] = jnp.stack([a, b], axis=1).astype(
+            jnp.uint32).reshape(n, B_TILE)
+
+        # tt = 1 (h = n/2): 4 groups; quad-deinterleaved root rows.
+        v = v_vm[:].reshape(4, 2, m, B_TILE)
+        s_op = op_vm[n // 2:].reshape(4, m, B_TILE)
+        s_quot = quot_vm[n // 2:].reshape(4, m, B_TILE)
+        a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
+        v = jnp.stack([a, b], axis=1).astype(jnp.uint32).reshape(n, B_TILE)
+
+        # Final correction [0,4q) -> [0,q), then transpose back.
+        v = jnp.where(v >= two_q, v - two_q, v)
+        v = jnp.where(v >= q, v - q, v)
+        v_vm[:] = jnp.swapaxes(
+            v.reshape(8, m, B_TILE), 0, 1).reshape(n, B_TILE)
+    return kernel
+
+
+@lru_cache(maxsize=32)
+def _tables_bcast(n: int, moduli: tuple):
+    """(L, n, B_TILE) lane-broadcast permuted Shoup tables + (L,1) qs."""
+    ops, quots = zip(*(ntt_tables(n, int(q)) for q in moduli))
+    L = len(moduli)
+    op = np.stack([_permute_table(t) for t in ops])
+    quot = np.stack([_permute_table(t) for t in quots])
+    op = np.broadcast_to(op[:, :, None], (L, n, B_TILE)).copy()
+    quot = np.broadcast_to(quot[:, :, None], (L, n, B_TILE)).copy()
+    qs = np.array([[q] for q in moduli], dtype=np.uint32)
+    return op, quot, qs
+
+
+def _pallas_ntt_call(x, op, quot, qs, n: int, logn: int, interpret: bool):
+    L, _, B = x.shape
+    assert B % B_TILE == 0, f"batch {B} must be a multiple of {B_TILE}"
+    grid = (L, B // B_TILE)
+    _0 = np.int32(0)  # x64 mode would make bare 0 an i64, which Mosaic rejects
+    return pl.pallas_call(
+        _make_ntt_kernel(n, logn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda l, b: (_0, _0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b)),
+        ],
+        out_specs=pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b)),
+        out_shape=jax.ShapeDtypeStruct((L, n, B), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((n, B_TILE), jnp.uint32),
+            pltpu.VMEM((n, B_TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qs, op, quot, x)
+
+
+def ntt_coeff_major(x, moduli, interpret: bool | None = None):
+    """Forward negacyclic NTT over coefficient-major data.
+
+    x: u32 (L, n, B) — limb-major, coefficients on the second axis, batch
+    minor.  moduli: tuple of L primes.  Returns same-shape canonical [0,q)
+    NTT (scrambled order), bit-identical to ops.ntt.ntt per limb.
+    """
+    L, n, B = x.shape
+    logn = n.bit_length() - 1
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    op, quot, qs = _tables_bcast(n, tuple(int(q) for q in moduli))
+    return _pallas_ntt_call(x, jnp.asarray(op), jnp.asarray(quot),
+                            jnp.asarray(qs), n, logn, interpret)
+
+
+def ntt_batch_bn(x, moduli, interpret: bool | None = None):
+    """Convenience wrapper for (L, B, n)-layout data: transposes to
+    coefficient-major, runs the kernel, transposes back."""
+    xt = jnp.swapaxes(x, -1, -2)
+    out = ntt_coeff_major(xt, moduli, interpret=interpret)
+    return jnp.swapaxes(out, -1, -2)
