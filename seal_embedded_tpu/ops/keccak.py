@@ -136,12 +136,26 @@ def _state_to_rate_words(lo, hi):
     return w.reshape(w.shape[:-2] + (34,))
 
 
-def shake256_words(seed_words, counters, nblocks: int):
+def default_impl() -> str:
+    """Choose the SHAKE implementation: the Pallas kernel on TPU (orders of
+    magnitude faster — the jnp path round-trips HBM per elementwise op), the
+    fused jnp path elsewhere.  Override with SEAL_TPU_KECCAK=jnp|kernel."""
+    import os
+    forced = os.environ.get("SEAL_TPU_KECCAK")
+    if forced in ("jnp", "kernel"):
+        return forced
+    return "kernel" if jax.default_backend() == "tpu" else "jnp"
+
+
+def shake256_words(seed_words, counters, nblocks: int, impl: str | None = None):
     """Squeeze nblocks*136 bytes for each (seed, counter) stream.
 
     counters: u32 (..., 2) pairs.  Returns u32 (..., nblocks*34) words —
     the byte stream in LE word form.
     """
+    if (impl or default_impl()) == "kernel":
+        from .kernels.keccak import shake256_words_kernel
+        return shake256_words_kernel(seed_words, counters, nblocks)
     lo, hi = absorb72(seed_words, counters)
 
     def step(state, _):

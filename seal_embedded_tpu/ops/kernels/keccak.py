@@ -1,0 +1,179 @@
+"""Pallas TPU kernel: batched counter-mode SHAKE-256 squeeze.
+
+The jnp Keccak (ops/keccak.py) materializes every intermediate lane array
+in HBM — at ~300 elementwise ops per round that is hundreds of HBM
+round-trips per permutation, bandwidth-bound ~50x off roofline.  This
+kernel re-designs the layout TPU-first:
+
+* a tile of ``T = 1024`` independent XOF streams rides the VPU as an
+  (8, 128) vreg — each of the 50 u32 half-lanes of the Keccak state is
+  exactly one vector register, so a full permutation round runs entirely
+  in registers;
+* the state lives in VMEM scratch (50, 8, 128) and persists across the
+  sequential ``nblocks`` grid dimension — counter-mode absorb happens once
+  (72-byte seed||counter block, rng.h:78-84 construction), then each grid
+  step is one permutation + one 136-byte rate extraction;
+* outputs are written word-major per block (34, 8, 128); the host-side
+  wrapper makes one XLA transpose back to stream-major — a single HBM
+  pass instead of per-op traffic.
+
+Bit-exact against the scalar reference Keccak-f[1600]
+(device/lib/shake256/fips202.c, keccakf1600.c): verified word-for-word in
+tests/test_ops.py against golden/keccak.py (itself validated vs hashlib
+and the C reference).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..keccak import _RC, _RHO
+
+U32 = jnp.uint32
+T_STREAMS = 1024  # streams per tile: one (8, 128) vreg per state half-lane
+_TSUB, _TLANE = 8, 128
+
+
+def _rol_pair(lo, hi, r: int):
+    """Rotate-left of a 64-bit lane held as (lo, hi) u32 vregs, static r."""
+    r %= 64
+    if r == 0:
+        return lo, hi
+    if r == 32:
+        return hi, lo
+    if r < 32:
+        nlo = (lo << r) | (hi >> (32 - r))
+        nhi = (hi << r) | (lo >> (32 - r))
+    else:
+        r -= 32
+        nlo = (hi << r) | (lo >> (32 - r))
+        nhi = (lo << r) | (hi >> (32 - r))
+    return nlo.astype(U32), nhi.astype(U32)
+
+
+def _permute(lo, hi):
+    """24 Keccak-f[1600] rounds on lists of 25 (8, 128) u32 vregs."""
+    for rc in _RC:
+        clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20]
+               for x in range(5)]
+        chi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20]
+               for x in range(5)]
+        for x in range(5):
+            rl, rh = _rol_pair(clo[(x + 1) % 5], chi[(x + 1) % 5], 1)
+            dlo = clo[(x - 1) % 5] ^ rl
+            dhi = chi[(x - 1) % 5] ^ rh
+            for y in range(5):
+                lo[x + 5 * y] = lo[x + 5 * y] ^ dlo
+                hi[x + 5 * y] = hi[x + 5 * y] ^ dhi
+        blo = [None] * 25
+        bhi = [None] * 25
+        for x in range(5):
+            for y in range(5):
+                i = x + 5 * y
+                j = y + 5 * ((2 * x + 3 * y) % 5)
+                blo[j], bhi[j] = _rol_pair(lo[i], hi[i], _RHO[i])
+        for y in range(5):
+            rl = [blo[x + 5 * y] for x in range(5)]
+            rh = [bhi[x + 5 * y] for x in range(5)]
+            for x in range(5):
+                lo[x + 5 * y] = rl[x] ^ (~rl[(x + 1) % 5] & rl[(x + 2) % 5])
+                hi[x + 5 * y] = rh[x] ^ (~rh[(x + 1) % 5] & rh[(x + 2) % 5])
+        lo[0] = lo[0] ^ jnp.asarray(np.uint32(rc & 0xFFFFFFFF), U32)
+        hi[0] = hi[0] ^ jnp.asarray(np.uint32(rc >> 32), U32)
+    return lo, hi
+
+
+def _kernel(seed_ref, ctr_ref, out_ref, st_ref):
+    """Grid: (ntiles, nblocks).  seed (1,16,8,128); ctr (1,2,8,128);
+    out (1,34,8,128) per block; st scratch (50,8,128) persists over blocks."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        # Absorb: 72-byte block = 16 seed words + 2 counter words + padding
+        # (0x1F at byte 72 => word 18; 0x80 at byte 135 => word 33 top byte),
+        # capacity words zero.  Word 2k -> lane k lo, 2k+1 -> lane k hi.
+        for k in range(8):
+            st_ref[2 * k] = seed_ref[0, 2 * k]
+            st_ref[2 * k + 1] = seed_ref[0, 2 * k + 1]
+        st_ref[16] = ctr_ref[0, 0]
+        st_ref[17] = ctr_ref[0, 1]
+        pad18 = jnp.full((_TSUB, _TLANE), np.uint32(0x1F), U32)
+        st_ref[18] = pad18
+        zero = jnp.zeros((_TSUB, _TLANE), U32)
+        for w in range(19, 33):
+            st_ref[w] = zero
+        st_ref[33] = jnp.full((_TSUB, _TLANE), np.uint32(0x80000000), U32)
+        for w in range(34, 50):
+            st_ref[w] = zero
+
+    lo = [st_ref[2 * k] for k in range(25)]
+    hi = [st_ref[2 * k + 1] for k in range(25)]
+    lo, hi = _permute(lo, hi)
+    for k in range(25):
+        st_ref[2 * k] = lo[k]
+        st_ref[2 * k + 1] = hi[k]
+    for k in range(17):
+        out_ref[0, 2 * k] = lo[k]
+        out_ref[0, 2 * k + 1] = hi[k]
+
+
+@lru_cache(maxsize=8)
+def _squeeze_call(ntiles: int, nblocks: int, interpret: bool):
+    _0 = np.int32(0)
+    return pl.pallas_call(
+        _kernel,
+        grid=(ntiles, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, 16, _TSUB, _TLANE), lambda t, j: (t, _0, _0, _0)),
+            pl.BlockSpec((1, 2, _TSUB, _TLANE), lambda t, j: (t, _0, _0, _0)),
+        ],
+        out_specs=pl.BlockSpec((1, 34, _TSUB, _TLANE),
+                               lambda t, j: (t, j, _0, _0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles, nblocks * 34, _TSUB, _TLANE), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32)],
+        interpret=interpret,
+    )
+
+
+def shake256_words_kernel(seed_words, counters, nblocks: int,
+                          interpret: bool | None = None):
+    """Drop-in for ops.keccak.shake256_words via the Pallas kernel.
+
+    seed_words: u32 (..., 16) broadcastable against counters (..., 2).
+    Returns u32 (..., nblocks*34).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch_shape = counters.shape[:-1]
+    from ..keccak import align_seed
+    sw = jnp.broadcast_to(align_seed(seed_words, counters),
+                          batch_shape + (16,)).astype(U32)
+    ctr = counters.astype(U32)
+    N = int(np.prod(batch_shape)) if batch_shape else 1
+    ntiles = -(-N // T_STREAMS)
+    pad = ntiles * T_STREAMS - N
+
+    sw = sw.reshape(N, 16)
+    ctr = ctr.reshape(N, 2)
+    if pad:
+        sw = jnp.concatenate([sw, jnp.zeros((pad, 16), U32)])
+        ctr = jnp.concatenate([ctr, jnp.zeros((pad, 2), U32)])
+    # stream-major -> tile/word-major (ntiles, W, 8, 128)
+    sw = sw.reshape(ntiles, T_STREAMS, 16).swapaxes(1, 2) \
+           .reshape(ntiles, 16, _TSUB, _TLANE)
+    ctr = ctr.reshape(ntiles, T_STREAMS, 2).swapaxes(1, 2) \
+             .reshape(ntiles, 2, _TSUB, _TLANE)
+
+    out = _squeeze_call(ntiles, nblocks, interpret)(sw, ctr)
+    # (ntiles, nblocks*34, 8, 128) -> (N, nblocks*34)
+    out = out.reshape(ntiles, nblocks * 34, T_STREAMS).swapaxes(1, 2) \
+             .reshape(ntiles * T_STREAMS, nblocks * 34)
+    if pad:
+        out = out[:N]
+    return out.reshape(batch_shape + (nblocks * 34,))
