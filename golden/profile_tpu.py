@@ -1,7 +1,9 @@
 """Honest per-component TPU timing with fetch barriers.
 
-Every timing fetches a slice of the final output to force the full queue to
-drain (block_until_ready is not a reliable fence on the axon tunnel).
+Every timing fetches ONE element of the final output to force the full queue
+to drain (block_until_ready is not a reliable fence on the axon tunnel); the
+element is sliced on device first so only 4-8 bytes cross the tunnel and the
+timed region is not inflated by device-to-host transfer of the whole buffer.
 """
 import os, time, sys
 import numpy as np
@@ -27,24 +29,28 @@ sk = jnp.asarray((rng.integers(0, 3, n) - 1).astype(np.int32))
 share = jnp.asarray(rng.integers(0, 2**32, (B, 16)).astype(np.uint32))
 err = jnp.asarray(rng.integers(0, 2**32, (B, 16)).astype(np.uint32))
 pte = jnp.asarray(rng.integers(-2**26, 2**26, (B, n)).astype(np.int64))
-x_lnb = jnp.asarray(rng.integers(0, moduli[0], (L, n, B)).astype(np.uint32))
+x_lnb = jnp.asarray(np.stack(
+    [rng.integers(0, q, (n, B)).astype(np.uint32) for q in moduli]))
 x_bn = jnp.asarray(rng.integers(0, moduli[0], (B, n)).astype(np.uint32))
 zero_ctr = jnp.zeros((B,), jnp.uint32)
 ctr2 = jnp.zeros((B, 2), jnp.uint32)
 
 
-def timeit(name, fn, *args, iters=3):
+def _fetch_one(out):
+    """Drain the queue by fetching a single element (sliced on device)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def timeit(name, fn, *args, iters=10):
     fn = jax.jit(fn)
     t0 = time.time()
-    out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf).ravel()[:1]
+    _fetch_one(fn(*args))
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf).ravel()[:1]
+    _fetch_one(out)
     dt = (time.time() - t0) / iters
     print(f"{name:36s} {dt*1e3:9.2f} ms  (compile {compile_s:5.1f}s)", flush=True)
     return dt
@@ -75,7 +81,9 @@ if want("sample"):
 if want("ntt"):
     timeit("ntt kernel (L,n,B)", partial(ntt_coeff_major, moduli=moduli), x_lnb)
     timeit("ntt jnp 1 limb (B,n)", partial(ntt, q=moduli[0]), x_bn)
-    op, quot = ntt_tables_stacked(n, moduli)
+    op, quot = (jnp.asarray(t) for t in ntt_tables_stacked(n, moduli))
+    timeit("ntt jnp tables 1 limb (B,n)",
+           partial(ntt_with_tables, q=moduli[0]), x_bn, op[0], quot[0])
 
 if want("mod"):
     mod0 = ma.as_mod(moduli[0])

@@ -73,6 +73,26 @@ NTT_ROOTS: dict[tuple[int, int], int] = {
 SEED_BYTE_COUNT = 64  # SE_PRNG seed size (defines.h:67); matches SEAL
 
 
+@lru_cache(maxsize=None)
+def find_ntt_root(n: int, q: int) -> int:
+    """Primitive 2n-th root of unity mod q, SEAL-compatible.
+
+    SEAL 3.7.2 (and therefore the reference's hard-coded table,
+    ntt.c:199-292) uses the *minimal* primitive 2n-th root — verified
+    against every table entry.  The table is kept as a fast path/oracle;
+    this computes the same value for any (n, q) pair not in it (e.g. tiny
+    degrees for sharding dry runs, or custom prime chains).
+    """
+    if (n, q) in NTT_ROOTS:
+        return NTT_ROOTS[(n, q)]
+    m = 2 * n
+    assert (q - 1) % m == 0, f"q={q} has no 2n-th root (q != 1 mod {m})"
+    for w in range(2, q):
+        if pow(w, m // 2, q) != 1 and pow(w, m, q) == 1:
+            return w
+    raise ValueError(f"no primitive {m}-th root mod {q}")
+
+
 def const_ratio(q: int) -> tuple[int, int]:
     """floor(2**64 / q) as (low32, high32) words.
 
@@ -134,7 +154,7 @@ class Parms:
         return self.degree // 2
 
     def ntt_root(self, q: int) -> int:
-        return NTT_ROOTS[(self.degree, q)]
+        return find_ntt_root(self.degree, q)
 
 
 @lru_cache(maxsize=None)

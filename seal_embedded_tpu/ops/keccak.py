@@ -54,40 +54,61 @@ def _rol(lo, hi, r: int):
     return nlo.astype(U32), nhi.astype(U32)
 
 
-def keccak_f1600(lo, hi):
-    """One permutation over state arrays of shape (..., 25) u32 pairs."""
-    lo = list(jnp.moveaxis(lo, -1, 0))
-    hi = list(jnp.moveaxis(hi, -1, 0))
-    for rc in _RC:
-        # theta
-        clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
-        chi_ = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
-        for x in range(5):
-            rl, rh = _rol(clo[(x + 1) % 5], chi_[(x + 1) % 5], 1)
-            dlo = clo[(x - 1) % 5] ^ rl
-            dhi = chi_[(x - 1) % 5] ^ rh
-            for y in range(5):
-                lo[x + 5 * y] = lo[x + 5 * y] ^ dlo
-                hi[x + 5 * y] = hi[x + 5 * y] ^ dhi
-        # rho + pi
-        blo = [None] * 25
-        bhi = [None] * 25
-        for x in range(5):
-            for y in range(5):
-                i = x + 5 * y
-                j = y + 5 * ((2 * x + 3 * y) % 5)
-                blo[j], bhi[j] = _rol(lo[i], hi[i], _RHO[i])
-        # chi
+def _round(lo, hi, rc_lo, rc_hi):
+    """One Keccak-f[1600] round on lists of 25 (lo, hi) u32 lane pairs.
+    rc_lo/rc_hi: the round constant's words (scalar arrays or ints)."""
+    # theta
+    clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
+    chi_ = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
+    for x in range(5):
+        rl, rh = _rol(clo[(x + 1) % 5], chi_[(x + 1) % 5], 1)
+        dlo = clo[(x - 1) % 5] ^ rl
+        dhi = chi_[(x - 1) % 5] ^ rh
         for y in range(5):
-            row_lo = [blo[x + 5 * y] for x in range(5)]
-            row_hi = [bhi[x + 5 * y] for x in range(5)]
-            for x in range(5):
-                lo[x + 5 * y] = row_lo[x] ^ (~row_lo[(x + 1) % 5] & row_lo[(x + 2) % 5])
-                hi[x + 5 * y] = row_hi[x] ^ (~row_hi[(x + 1) % 5] & row_hi[(x + 2) % 5])
-        # iota
-        lo[0] = lo[0] ^ jnp.asarray(rc & 0xFFFFFFFF, U32)
-        hi[0] = hi[0] ^ jnp.asarray((rc >> 32) & 0xFFFFFFFF, U32)
-    return jnp.stack(lo, axis=-1), jnp.stack(hi, axis=-1)
+            lo[x + 5 * y] = lo[x + 5 * y] ^ dlo
+            hi[x + 5 * y] = hi[x + 5 * y] ^ dhi
+    # rho + pi
+    blo = [None] * 25
+    bhi = [None] * 25
+    for x in range(5):
+        for y in range(5):
+            i = x + 5 * y
+            j = y + 5 * ((2 * x + 3 * y) % 5)
+            blo[j], bhi[j] = _rol(lo[i], hi[i], _RHO[i])
+    # chi
+    for y in range(5):
+        row_lo = [blo[x + 5 * y] for x in range(5)]
+        row_hi = [bhi[x + 5 * y] for x in range(5)]
+        for x in range(5):
+            lo[x + 5 * y] = row_lo[x] ^ (~row_lo[(x + 1) % 5] & row_lo[(x + 2) % 5])
+            hi[x + 5 * y] = row_hi[x] ^ (~row_hi[(x + 1) % 5] & row_hi[(x + 2) % 5])
+    # iota
+    lo[0] = (lo[0] ^ rc_lo).astype(U32)
+    hi[0] = (hi[0] ^ rc_hi).astype(U32)
+    return lo, hi
+
+
+def keccak_f1600(lo, hi):
+    """One permutation over state arrays of shape (..., 25) u32 pairs.
+
+    The 24 rounds run under lax.scan over the round-constant table: the
+    round body (theta/rho/pi/chi are round-invariant) is traced and
+    compiled once instead of 24 times, shrinking the XLA graph ~24x.
+    The Pallas TPU kernel (ops/kernels/keccak.py) keeps a fully unrolled
+    in-register variant; this jnp path serves CPU tests/golden checks."""
+    rc_lo = jnp.asarray([rc & 0xFFFFFFFF for rc in _RC], dtype=U32)
+    rc_hi = jnp.asarray([(rc >> 32) & 0xFFFFFFFF for rc in _RC], dtype=U32)
+
+    def step(state, rcs):
+        s_lo, s_hi = state
+        ll = [s_lo[..., i] for i in range(25)]
+        hh = [s_hi[..., i] for i in range(25)]
+        ll, hh = _round(ll, hh, rcs[0], rcs[1])
+        return (jnp.stack(ll, axis=-1), jnp.stack(hh, axis=-1)), None
+
+    (lo, hi), _ = jax.lax.scan(step, (lo, hi),
+                               jnp.stack([rc_lo, rc_hi], axis=-1))
+    return lo, hi
 
 
 def seed_to_words(seed: bytes) -> np.ndarray:

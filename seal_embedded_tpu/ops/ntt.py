@@ -19,7 +19,7 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import NTT_ROOTS, barrett_quotient, bitrev
+from ..config import barrett_quotient, bitrev, find_ntt_root
 from .modarith import U32, mul_mod_shoup_lazy, mulhi, mullo, shift_result
 
 
@@ -27,7 +27,7 @@ from .modarith import U32, mul_mod_shoup_lazy, mulhi, mullo, shift_result
 def ntt_tables(n: int, q: int) -> tuple[np.ndarray, np.ndarray]:
     """(operand, quotient) forward tables, bitrev-indexed (ntt.c:40-52)."""
     logn = n.bit_length() - 1
-    w = NTT_ROOTS[(n, q)]
+    w = find_ntt_root(n, q)
     op = np.zeros(n, dtype=np.uint32)
     quot = np.zeros(n, dtype=np.uint32)
     power = 1
@@ -44,7 +44,7 @@ def intt_tables(n: int, q: int) -> tuple[np.ndarray, np.ndarray]:
     """Inverse-root tables, same indexing as forward (intt.c:511-605
     semantics)."""
     logn = n.bit_length() - 1
-    w = NTT_ROOTS[(n, q)]
+    w = find_ntt_root(n, q)
     winv = pow(w, q - 2, q)
     op = np.zeros(n, dtype=np.uint32)
     quot = np.zeros(n, dtype=np.uint32)

@@ -27,10 +27,24 @@ from .keccak import RATE_WORDS, shake256_words
 U32 = jnp.uint32
 I32 = jnp.int32
 
-# Static queue bounds.  Uniform: E[#rejects] ~ n*q/2^32 (~76 @ n=4096,
-# 30-bit q); bound is +10 sigma.  Ternary: per 96-byte block E ~ 0.75.
-UNIFORM_QUEUE_CAP = 160
+# Static queue bounds.  Uniform: E[#rejects] = n*p with p = (2^32 mod q)/2^32
+# (p <= 0.019 for the supported 27/30-bit chains; ~76 rejects @ n=4096);
+# bound is ~ +10 sigma.  Ternary: per 96-byte block E ~ 0.75.
+# Queue length does NOT affect output values (only the ok-flag's
+# false-negative rate): entries are deterministic in counter order and only
+# the consumed prefix feeds the result.
+UNIFORM_QUEUE_CAP = 160  # the validated n=4096 default
 TERNARY_QUEUE_CAP = 8
+
+
+def uniform_queue_cap(n: int) -> int:
+    """Queue bound for degree n: E + 10*sigma headroom (worst-case p=0.02),
+    rounded to a multiple of 8.  Keeps the long-validated 160 at n=4096."""
+    if n == 4096:
+        return UNIFORM_QUEUE_CAP
+    e = 0.02 * n
+    cap = e + 10.0 * (e ** 0.5) + 16.0
+    return max(24, int(-(-cap // 8)) * 8)
 
 
 def _blocks_for_bytes(nbytes: int) -> int:
@@ -127,7 +141,8 @@ def sample_uniform(seed_words, counter, n: int, q):
     rejected = base >= max_multiple
 
     # Extra-draw queue: counters counter+1 .. counter+CAP; value = first word.
-    qcounters = counter[..., None] + 1 + jnp.arange(UNIFORM_QUEUE_CAP, dtype=U32)
+    cap = uniform_queue_cap(n)
+    qcounters = counter[..., None] + 1 + jnp.arange(cap, dtype=U32)
     qwords = shake256_words(seed_words, _counter_pair(qcounters), 1)
     qvals = qwords[..., 0]
     qacc = qvals < max_multiple

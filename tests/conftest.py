@@ -7,7 +7,10 @@ S4.7.  Real-TPU runs happen in bench.py / __graft_entry__.py only.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the shell environment pre-sets JAX_PLATFORMS to
+# the real accelerator platform, and running the suite through it would put
+# every test (compiles + transfers) on the device tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
