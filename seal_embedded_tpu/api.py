@@ -173,10 +173,10 @@ def se_decrypt_decode(ctx: SEContext, out, prime_idx: int = 0) -> np.ndarray:
     """Verification oracle: decrypt+decode a batch result (test-side only,
     like the reference's check_decode_decrypt_inpl)."""
     from .ckks.sym import make_decryptor
-    from .ops.encode import decode
+    from .ops.encode import make_decoder
     centered = make_decryptor(ctx.parms)(
         out["c0"], out["c1"], jnp.asarray(ctx.sk_signed))
-    return np.asarray(decode(centered[prime_idx], ctx.parms))
+    return np.asarray(make_decoder(ctx.parms)(centered[prime_idx]))
 
 
 def se_cleanup(ctx: SEContext) -> None:

@@ -37,8 +37,9 @@ from ..ops.ntt import ntt
 
 def _ntt_all_limbs(x_lbn, moduli):
     """(L, B, n) u32 -> per-limb forward NTT.  Pallas kernel on TPU
-    (coefficient-major, one call for the whole limb axis); jnp rounds
-    elsewhere (bit-identical, tested against each other)."""
+    (coefficient-major, one call for the whole limb axis); a vmapped
+    table-driven jnp NTT elsewhere (bit-identical, tested against each
+    other)."""
     if jax.default_backend() == "tpu":
         L, B, n = x_lbn.shape
         bt = 128
@@ -49,7 +50,13 @@ def _ntt_all_limbs(x_lbn, moduli):
                 [x, jnp.zeros((L, n, pad), jnp.uint32)], axis=-1)
         out = ntt_coeff_major(x, moduli, interpret=False)
         return jnp.swapaxes(out[..., :B], 1, 2)
-    return jnp.stack([ntt(x_lbn[i], q) for i, q in enumerate(moduli)])
+    from ..ops import modarith as ma
+    from ..ops.ntt import ntt_tables_stacked, ntt_with_tables
+    n = x_lbn.shape[-1]
+    op, quot = ntt_tables_stacked(n, moduli)
+    qs = jnp.asarray(np.array(moduli, np.uint32))
+    return jax.vmap(ntt_with_tables)(x_lbn, jnp.asarray(op),
+                                     jnp.asarray(quot), qs)
 
 
 def _mods_bcast(parms: Parms):

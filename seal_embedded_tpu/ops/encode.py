@@ -236,6 +236,12 @@ def decode(pte_signed, parms: Parms):
     return (re / np.float64(parms.scale))[..., imap[: n // 2]]
 
 
+@lru_cache(maxsize=16)
+def make_decoder(parms: Parms):
+    """Cached jit of decode (eager execution pays per-op dispatch)."""
+    return jax.jit(partial(decode, parms=parms))
+
+
 def encode_host(values: np.ndarray, parms: Parms):
     """Bit-exact encode on the CPU backend (IEEE f64), for golden-mode
     pipelines running in a TPU process."""

@@ -81,7 +81,7 @@ def _scatter_last(target, idx, vals):
 
 
 def _rank_select(base_vals, rejected, queue_vals, queue_acc):
-    """Queue equivalence core.
+    """Queue equivalence core (gather-free, TPU-native).
 
     base_vals: (..., n) initial draws; rejected: mask of base rejections.
     queue_vals/queue_acc: (..., CAP) extra draws + acceptance.
@@ -91,11 +91,20 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
     Correctness: the reference's rejection loop consumes counters c+1, c+2,...
     strictly in order of (position, retry); therefore the j-th rejected base
     position ends up with the j-th accepted value in that counter order.
+
+    TPU layout note: the rejected->accepted alignment is a *bijection*
+    (every rejected position has a unique rank), so instead of gathering
+    accepted values into the n base positions (a (..., n)-sized gather from
+    a tiny table — measured ~44 ms at (1024, 4096) on v5e) we:
+      1. compact the accepted queue entries by rank (CAP-sized scatter),
+      2. find the positions of the first CAP rejected entries with one
+         top_k over a position-encoding key,
+      3. scatter accepted value r onto the (r+1)-th rejected position
+         (CAP updates per stream, invalid ranks dropped).
     """
     cap = queue_vals.shape[-1]
-    # Rank of each rejected base position (1-indexed among rejected).
-    j = jnp.cumsum(rejected.astype(I32), axis=-1)
-    num_rejected = jnp.where(rejected.any(axis=-1), j[..., -1], 0)
+    n = base_vals.shape[-1]
+    num_rejected = jnp.sum(rejected.astype(I32), axis=-1)
 
     # Rank of each accepted queue slot (1-indexed among accepted).
     qrank = jnp.cumsum(queue_acc.astype(I32), axis=-1)
@@ -111,11 +120,22 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
                            queue_vals.shape[:-1] + (cap,))
     accepted_pos = _scatter_last(jnp.zeros(out_shape, I32), idx, pos)
 
-    final = jnp.where(
-        rejected,
-        jnp.take_along_axis(accepted_vals, jnp.clip(j - 1, 0, cap - 1), axis=-1),
-        base_vals,
-    )
+    # Positions of the first CAP rejected base entries, in position order:
+    # key = n - pos for rejected entries (all >= 1, strictly decreasing in
+    # pos), 0 otherwise; top_k's descending keys = ascending positions, and
+    # zero keys (rank beyond num_rejected) map to position n => dropped.
+    keys = jnp.where(rejected,
+                     n - jnp.arange(n, dtype=I32), jnp.zeros((), I32))
+    topv, _ = jax.lax.top_k(keys, cap)
+    rej_pos = n - topv  # (..., cap); == n where rank invalid
+
+    flat_b = base_vals.reshape(-1, n)
+    flat_p = rej_pos.reshape(-1, cap)
+    flat_v = accepted_vals.reshape(-1, cap)
+    rows = jnp.arange(flat_b.shape[0])[:, None]
+    final = flat_b.at[rows, flat_p].set(flat_v, mode="drop") \
+                  .reshape(base_vals.shape)
+
     # Consumed slots = queue position of the last needed accepted entry + 1.
     last_pos = jnp.take_along_axis(
         accepted_pos, jnp.clip(num_rejected - 1, 0, cap - 1)[..., None], axis=-1
@@ -235,4 +255,12 @@ def sample_cbd(seed_words, counter, n: int):
 def ternary_to_modq(signed, q: int):
     """{-1,0,1} -> {q-1, 0, 1} mod-q representation (sample.c:98-111)."""
     return jnp.where(signed < 0, jnp.asarray(q - 1, U32),
+                     signed.astype(U32)).astype(U32)
+
+
+def ternary_to_modq_any(signed, q):
+    """ternary_to_modq for a static int, Mod, or traced/broadcast modulus."""
+    from .modarith import _q
+    qv = jnp.asarray(_q(q)).astype(U32)
+    return jnp.where(signed < 0, qv - jnp.uint32(1),
                      signed.astype(U32)).astype(U32)

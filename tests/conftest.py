@@ -20,6 +20,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import seal_embedded_tpu  # noqa: F401  (enables x64 + persistent compile cache)
 import jax
 
+# A sitecustomize may have imported jax before this file ran, freezing the
+# env-var defaults (JAX_PLATFORMS) into jax.config at import time; override
+# the config values directly too.  Backends must not be initialized yet.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.devices()
+assert len(jax.devices()) >= 8, jax.devices()
+
 import pathlib
 
 import numpy as np

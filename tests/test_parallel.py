@@ -1,0 +1,46 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+sharded results must be bit-identical to the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seal_embedded_tpu.config import Parms, PRIMES_27BIT
+from seal_embedded_tpu.ops.ntt import ntt
+from seal_embedded_tpu.parallel.coeff_ntt import ntt_coeff_sharded
+from seal_embedded_tpu.parallel.mesh import make_mesh, sym_encrypt_sharded
+
+Q27 = PRIMES_27BIT[0]
+
+
+@pytest.mark.parametrize("n,ndev", [(256, 8), (512, 4), (64, 8)])
+def test_coeff_sharded_ntt_bit_exact(n, ndev):
+    mesh = make_mesh(n_data=ndev, n_limb=1, devices=jax.devices()[:ndev])
+    rng = np.random.default_rng(n)
+    x = jnp.asarray(rng.integers(0, Q27, (3, n)).astype(np.uint32))
+    got = ntt_coeff_sharded(mesh, n, Q27, axis="data")(x)
+    want = ntt(x, Q27)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sym_encrypt_sharded_matches_unsharded():
+    from functools import partial
+    from seal_embedded_tpu.ckks.sym import sym_encrypt_batch
+
+    parms = Parms(degree=64, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20)
+    mesh = make_mesh(n_data=4, n_limb=2)
+    B, n = 8, parms.degree
+    rng = np.random.default_rng(0)
+    values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
+    sk = jnp.asarray((rng.integers(0, 3, n) - 1).astype(np.int32))
+    share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+    err = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+
+    with mesh:
+        sharded = sym_encrypt_sharded(mesh, parms)(values, sk, share, err)
+    plain = jax.jit(partial(sym_encrypt_batch, parms=parms))(
+        values, sk, share, err)
+    for k in ("c0", "c1", "pte"):
+        assert np.array_equal(np.asarray(sharded[k]), np.asarray(plain[k])), k
+    assert bool(np.asarray(sharded["ok"]).all())

@@ -135,8 +135,9 @@ def test_asym_pipeline_vs_golden_model():
 
 
 def test_decode_op_roundtrip():
+    from seal_embedded_tpu.ops.encode import make_decoder
     rng = np.random.default_rng(5)
     vals = rng.uniform(-2, 2, (2, N // 2)).astype(np.float32)
-    pt, ok = encode(jnp.asarray(vals), P)
-    dec = np.asarray(decode(pt, P))
+    pt, ok = jax.jit(partial(encode, parms=P))(jnp.asarray(vals))
+    dec = np.asarray(make_decoder(P)(pt))
     assert np.abs(dec - vals).max() < 1e-4
