@@ -1,14 +1,23 @@
-"""Benchmark: batched CKKS symmetric encode+encrypt throughput on real TPU.
+"""Benchmark: batched CKKS encode+encrypt throughput on real TPU.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): 100,000 bit-exact n=4096 sym
 encryptions/sec on a v5e-8 => per-chip target 12,500 enc/s.
 
-Timing uses amortized back-to-back dispatch with a scalar fetch barrier
-(block_until_ready is not a reliable fence on the axon tunnel platform).
+Timing uses amortized back-to-back dispatch with a one-element fetch
+barrier, sliced on device (block_until_ready is not a reliable fence on
+the axon tunnel platform, and fetching whole buffers would time the
+tunnel's device-to-host bandwidth instead of the kernels).
 
-Config via env: BENCH_B (batch), BENCH_ITERS, BENCH_DEGREE, BENCH_NPRIMES,
-BENCH_LAYOUT (reference|parallel).
+Config via env:
+  BENCH_B        batch (default 1024)
+  BENCH_ITERS    timed iterations (default 10)
+  BENCH_DEGREE   polynomial degree (default 4096)
+  BENCH_NPRIMES  RNS chain length (default 3)
+  BENCH_PIPE     fused | limbwise | asym   (default fused)
+  BENCH_ENCODE   dd | f64                  (default dd: decode-exact TPU
+                 fast path; integer stages are bit-exact either way)
+  BENCH_WHAT     pipeline | ntt | keccak | encode | sample  (default pipeline)
 """
 
 import json
@@ -18,58 +27,171 @@ import time
 import numpy as np
 
 
+def _fetch_one(x):
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _time(fn, args, iters):
+    t0 = time.time()
+    _fetch_one(fn(*args))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    _fetch_one(out)
+    return (time.time() - t0) / iters, compile_s, out
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import seal_embedded_tpu  # noqa: F401  (x64 + compile cache)
-    from seal_embedded_tpu.ckks.limbwise import make_limbscan_encryptor
     from seal_embedded_tpu.config import default_parms
 
     B = int(os.environ.get("BENCH_B", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     degree = int(os.environ.get("BENCH_DEGREE", "4096"))
     nprimes = int(os.environ.get("BENCH_NPRIMES", "3"))
-    layout = os.environ.get("BENCH_LAYOUT", "reference")
+    pipe = os.environ.get("BENCH_PIPE", "fused")
+    encode_mode = os.environ.get("BENCH_ENCODE", "dd")
+    what = os.environ.get("BENCH_WHAT", "pipeline")
 
     parms = default_parms(degree, nprimes)
     n = parms.degree
     rng = np.random.default_rng(0)
+    device = str(jax.devices()[0])
+    per_chip_target = 100_000 / 8  # v5e-8 north star split per chip
+
+    if what != "pipeline":
+        _component(what, parms, B, iters, rng, device)
+        return
+
     values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
     sk = jnp.asarray((rng.integers(0, 3, n) - 1).astype(np.int32))
     share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
     err = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
 
-    fn = make_limbscan_encryptor(parms, layout)
+    if pipe == "fused":
+        from seal_embedded_tpu.ckks.fast import make_fused_encryptor
+        fn = make_fused_encryptor(parms, encode_mode)
+        args = (values, sk, share, err)
+        metric = f"sym_encrypt_n{degree}_p{nprimes}_throughput"
+    elif pipe == "limbwise":
+        from seal_embedded_tpu.ckks.limbwise import make_limbscan_encryptor
+        fn = make_limbscan_encryptor(parms, "reference", encode_mode)
+        args = (values, sk, share, err)
+        metric = f"sym_encrypt_n{degree}_p{nprimes}_throughput"
+    elif pipe == "asym":
+        from seal_embedded_tpu.ckks.asym import (gen_pk_batch,
+                                                 make_fused_asym_encryptor)
+        ep = jnp.asarray(rng.integers(-20, 21, n).astype(np.int32))
+        pk0, pk1 = gen_pk_batch(
+            sk, jnp.asarray(rng.integers(0, 2 ** 32, (1, 16))
+                            .astype(np.uint32)), ep, parms)
+        fn = make_fused_asym_encryptor(parms, encode_mode)
+        args = (values, pk0, pk1, share)
+        metric = f"asym_encrypt_n{degree}_p{nprimes}_throughput"
+    else:
+        raise SystemExit(f"unknown BENCH_PIPE {pipe!r}")
 
-    t0 = time.time()
-    out = fn(values, sk, share, err)
-    ok = bool(np.asarray(out["ok"]).all())  # fetch = hard sync
-    compile_s = time.time() - t0
+    avg_s, compile_s, out = _time(fn, args, iters)
+    ok = bool(np.asarray(out["ok"]).all())
     assert ok, "sampler queue overflow or encode overflow"
+    enc_per_s = B / avg_s
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(values, sk, share, err)
-    # Fetch a real output slice so every queued step must finish.
-    _ = np.asarray(out["c0"])[0, 0, :8]
-    total = time.time() - t0
-    enc_per_s = B * iters / total
-
-    per_chip_target = 100_000 / 8  # v5e-8 north star split per chip
     print(json.dumps({
-        "metric": f"sym_encrypt_n{degree}_p{nprimes}_throughput",
+        "metric": metric,
         "value": round(enc_per_s, 1),
         "unit": "enc/s/chip",
         "vs_baseline": round(enc_per_s / per_chip_target, 3),
         "extra": {
             "batch": B,
             "iters": iters,
-            "avg_ms": round(total / iters * 1000, 2),
+            "avg_ms": round(avg_s * 1000, 2),
             "compile_s": round(compile_s, 1),
-            "layout": layout,
-            "device": str(jax.devices()[0]),
+            "pipe": pipe,
+            "encode": encode_mode,
+            "device": device,
         },
     }))
+
+
+def _component(what, parms, B, iters, rng, device):
+    """Component benchmarks, mirroring the reference's bench suite
+    (device/bench/bench_{ntt,sample,ifft}.c)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    n = parms.degree
+    L = parms.nprimes
+    moduli = tuple(int(q) for q in parms.moduli)
+
+    if what == "ntt":
+        from seal_embedded_tpu.ops.kernels.ntt import ntt_coeff_major
+        x = jnp.asarray(np.stack(
+            [rng.integers(0, q, (n, B)).astype(np.uint32) for q in moduli]))
+        fn = jax.jit(partial(ntt_coeff_major, moduli=moduli))
+        avg_s, compile_s, _ = _time(fn, (x,), iters)
+        logn = n.bit_length() - 1
+        bflys = L * B * (n // 2) * logn / avg_s
+        print(json.dumps({
+            "metric": f"ntt_n{n}_butterflies_per_s",
+            "value": round(bflys / 1e9, 2),
+            "unit": "Gbfly/s",
+            "vs_baseline": round(avg_s * 1000, 3),
+            "extra": {"avg_ms": round(avg_s * 1000, 3), "L": L, "B": B,
+                      "compile_s": round(compile_s, 1), "device": device},
+        }))
+    elif what == "keccak":
+        from seal_embedded_tpu.ops.keccak import shake256_words
+        share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+        ctr = jnp.zeros((B, 2), jnp.uint32)
+        nblocks = -(-4 * n // 136)
+        fn = jax.jit(partial(shake256_words, nblocks=nblocks))
+        avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
+        perms = B * nblocks / avg_s
+        print(json.dumps({
+            "metric": "keccakf1600_perms_per_s",
+            "value": round(perms / 1e6, 2),
+            "unit": "Mperm/s",
+            "vs_baseline": round(avg_s * 1000, 3),
+            "extra": {"avg_ms": round(avg_s * 1000, 3), "B": B,
+                      "nblocks": nblocks, "compile_s": round(compile_s, 1),
+                      "device": device},
+        }))
+    elif what == "encode":
+        from seal_embedded_tpu.ops.encode import encode_any
+        values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
+        mode = os.environ.get("BENCH_ENCODE", "dd")
+        fn = jax.jit(partial(encode_any, parms=parms, mode=mode))
+        avg_s, compile_s, _ = _time(fn, (values,), iters)
+        print(json.dumps({
+            "metric": f"encode_{mode}_n{n}_per_s",
+            "value": round(B / avg_s, 1),
+            "unit": "encode/s",
+            "vs_baseline": round(avg_s * 1000, 3),
+            "extra": {"avg_ms": round(avg_s * 1000, 3), "B": B,
+                      "compile_s": round(compile_s, 1), "device": device},
+        }))
+    elif what == "sample":
+        from seal_embedded_tpu.ops import sampling as sp
+        share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+        ctr = jnp.zeros((B,), jnp.uint32)
+        fn = jax.jit(partial(sp.sample_uniform, n=n, q=moduli[0]))
+        avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
+        print(json.dumps({
+            "metric": f"sample_uniform_n{n}_per_s",
+            "value": round(B / avg_s, 1),
+            "unit": "poly/s",
+            "vs_baseline": round(avg_s * 1000, 3),
+            "extra": {"avg_ms": round(avg_s * 1000, 3), "B": B,
+                      "compile_s": round(compile_s, 1), "device": device},
+        }))
+    else:
+        raise SystemExit(f"unknown BENCH_WHAT {what!r}")
 
 
 if __name__ == "__main__":

@@ -58,10 +58,15 @@ def gen_save_all(outdir: str, degree: int = 4096, nprimes: int = 3,
         os.path.join(outdir, f"index_map_{n}.dat"), index_map_np(n))
     serialize.write_ifft_roots(
         os.path.join(outdir, f"ifft_roots_{n}.dat"), n, parms.logn)
+    serialize.write_fft_roots(
+        os.path.join(outdir, f"fft_roots_{n}.dat"), n, parms.logn)
     serialize.write_ntt_roots(outdir, parms, fast=False)
     serialize.write_ntt_roots(outdir, parms, fast=True)
     serialize.write_intt_roots(outdir, parms, fast=False)
     serialize.write_intt_roots(outdir, parms, fast=True)
+    # str_*.h headers: the SE_DATA_FROM_CODE_COPY consumption format.
+    serialize.write_str_header(
+        os.path.join(outdir, f"str_sk_{n}.h"), "secret_key", sk_packed)
     return {"parms": parms, "sk_packed": sk_packed, "pk": pk,
             "outdir": outdir}
 

@@ -30,18 +30,28 @@ ASYM = "asym"
 
 @dataclasses.dataclass
 class SEContext:
-    """Equivalent of SE_PARMS: parameters + key material + compiled graphs."""
+    """Equivalent of SE_PARMS: parameters + key material + compiled graphs.
+
+    encode_mode: 'auto' (dd on TPU — decode-exact fast path; f64 on CPU —
+    IEEE bit-exact), or force 'dd' / 'f64'.
+    """
     parms: Parms
     encrypt_type: str
     sk_signed: Optional[np.ndarray] = None       # {-1,0,1} (n,)
     pk0: Optional[np.ndarray] = None             # (nprimes, n) NTT form
     pk1: Optional[np.ndarray] = None
+    encode_mode: str = "auto"
     _sym_fn: Optional[Callable] = None
     _asym_fn: Optional[Callable] = None
 
     @property
     def degree(self) -> int:
         return self.parms.degree
+
+    def resolved_encode_mode(self) -> str:
+        if self.encode_mode != "auto":
+            return self.encode_mode
+        return "dd" if jax.default_backend() == "tpu" else "f64"
 
 
 def _seed_words_batch(seeds: list[bytes]) -> jnp.ndarray:
@@ -64,7 +74,8 @@ def se_setup_custom(degree: int, nprimes: int, scale: float,
                     sk_seed: Optional[bytes] = None,
                     sk_path: Optional[str] = None,
                     pk_dir: Optional[str] = None,
-                    pk_seed: Optional[bytes] = None) -> SEContext:
+                    pk_seed: Optional[bytes] = None,
+                    encode_mode: str = "auto") -> SEContext:
     """se_setup_custom equivalent (seal_embedded.c:24-83).
 
     Secret key sources (priority): explicit `sk` ({-1,0,1} array), `sk_seed`
@@ -73,7 +84,8 @@ def se_setup_custom(degree: int, nprimes: int, scale: float,
     generated device-side from sk + pk_seed (gen_pk).
     """
     parms = default_parms(degree, nprimes, scale)
-    ctx = SEContext(parms=parms, encrypt_type=encrypt_type)
+    ctx = SEContext(parms=parms, encrypt_type=encrypt_type,
+                    encode_mode=encode_mode)
 
     n = degree
     if sk is not None:
@@ -125,12 +137,17 @@ def se_setup_default(encrypt_type: str = SYM, **kw) -> SEContext:
 def se_encrypt_seeded(ctx: SEContext, values: np.ndarray,
                       share_seeds: Optional[list[bytes]] = None,
                       seeds: Optional[list[bytes]] = None,
-                      send: Optional[Callable[[bytes], int]] = None):
+                      send: Optional[Callable[[bytes], int]] = None,
+                      send_seed_only: bool = False):
     """se_encrypt_seeded equivalent (seal_embedded.c:98-215), batched.
 
     values: (B, <= n/2) float32.  seeds: per-message 64-byte seeds (random
     if omitted).  If `send` is given it receives each RNS component's bytes
     in the reference's streaming order (c0 then c1, per prime, per message).
+    With send_seed_only (symmetric only) each message is sent as ONE
+    compressed blob: the 64-byte shareable seed + c0 per prime; the
+    receiver expands c1 via ckks.limbwise.expand_c1 (the reference's
+    unfinished SE_ENABLE_SYM_SEED_CT, seal_embedded.c:184-194).
     Returns dict of device arrays (see sym_encrypt_batch / asym_encrypt_batch).
     """
     values = np.atleast_2d(np.asarray(values, dtype=np.float32))
@@ -141,25 +158,38 @@ def se_encrypt_seeded(ctx: SEContext, values: np.ndarray,
         values = np.pad(values, ((0, 0), (0, n // 2 - values.shape[1])))
 
     seeds = seeds or [os.urandom(64) for _ in range(B)]
+    mode = ctx.resolved_encode_mode()
+    on_tpu = jax.default_backend() == "tpu"
     if ctx.encrypt_type == SYM:
-        from .ckks.sym import make_sym_encryptor
         share_seeds = share_seeds or [os.urandom(64) for _ in range(B)]
-        out = make_sym_encryptor(ctx.parms)(
-            jnp.asarray(values), jnp.asarray(ctx.sk_signed),
-            _seed_words_batch(share_seeds), _seed_words_batch(seeds))
+        if on_tpu:
+            from .ckks.fast import make_fused_encryptor
+            fn = make_fused_encryptor(ctx.parms, mode)
+        else:
+            from .ckks.limbwise import make_limbscan_encryptor
+            fn = make_limbscan_encryptor(ctx.parms, "reference", mode)
+        out = fn(jnp.asarray(values), jnp.asarray(ctx.sk_signed),
+                 _seed_words_batch(share_seeds), _seed_words_batch(seeds))
     else:
-        from .ckks.asym import make_asym_encryptor
-        out = make_asym_encryptor(ctx.parms)(
-            jnp.asarray(values), jnp.asarray(ctx.pk0),
-            jnp.asarray(ctx.pk1), _seed_words_batch(seeds))
+        from .ckks.asym import (make_asym_encryptor,
+                                make_fused_asym_encryptor)
+        fn = (make_fused_asym_encryptor(ctx.parms, mode) if on_tpu
+              else make_asym_encryptor(ctx.parms, mode))
+        out = fn(jnp.asarray(values), jnp.asarray(ctx.pk0),
+                 jnp.asarray(ctx.pk1), _seed_words_batch(seeds))
 
     if send is not None:
         c0 = np.asarray(out["c0"])
-        c1 = np.asarray(out["c1"])
-        for b in range(B):
-            for i in range(ctx.parms.nprimes):
-                send(serialize.ct_component_bytes(c0[i, b]))
-                send(serialize.ct_component_bytes(c1[i, b]))
+        if send_seed_only:
+            assert ctx.encrypt_type == SYM, "seed-only cts are symmetric"
+            for b in range(B):
+                send(serialize.seeded_ct_bytes(share_seeds[b], c0[:, b]))
+        else:
+            c1 = np.asarray(out["c1"])
+            for b in range(B):
+                for i in range(ctx.parms.nprimes):
+                    send(serialize.ct_component_bytes(c0[i, b]))
+                    send(serialize.ct_component_bytes(c1[i, b]))
     return out
 
 
@@ -182,3 +212,25 @@ def se_decrypt_decode(ctx: SEContext, out, prime_idx: int = 0) -> np.ndarray:
 def se_cleanup(ctx: SEContext) -> None:
     ctx._sym_fn = None
     ctx._asym_fn = None
+
+
+def print_config(ctx: SEContext) -> str:
+    """Runtime configuration banner — the reference's print_config
+    (util_print.h:713) maps compile-time #defines to these runtime fields."""
+    p = ctx.parms
+    lines = [
+        "seal_embedded_tpu configuration",
+        f"  backend          : {jax.default_backend()} "
+        f"({len(jax.devices())} device(s))",
+        f"  degree n         : {p.degree}",
+        f"  modulus chain    : {list(p.moduli)}",
+        f"  scale            : 2^{int(np.log2(p.scale))}",
+        f"  encrypt type     : {ctx.encrypt_type}",
+        f"  encode mode      : {ctx.encode_mode} "
+        f"(resolved: {ctx.resolved_encode_mode()})",
+        f"  sk loaded        : {ctx.sk_signed is not None}",
+        f"  pk loaded        : {ctx.pk0 is not None}",
+    ]
+    banner = "\n".join(lines)
+    print(banner)
+    return banner

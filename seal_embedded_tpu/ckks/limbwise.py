@@ -57,17 +57,28 @@ def _one_prime(pte, sk_signed, share_words, counter, mod: ma.Mod, op, quot,
 
 
 def sym_encrypt_from_pte(pte, sk_signed, share_words, parms: Parms,
-                         layout: str = "reference", ok_in=None):
+                         layout: str = "reference", ok_in=None,
+                         order: str = "forward"):
     """Integer-only symmetric encrypt from an already-encoded pte (i64).
 
     This is the exact-on-TPU part: combined with encode on the CPU backend
     (ops.encode.encode_host) it yields bit-exact ciphertexts on TPU
     hardware; combined with on-device encode it is the fast path.
+
+    order: 'forward' walks the modulus chain 0..L-1; 'reverse' walks it
+    L-1..0 — the reference's SE_REVERSE_CT_GEN direction for every other
+    message (parameters.c:52-89, a table-reload optimization there; here
+    pure capability parity).  Outputs are stacked in walk order.
     """
     B = pte.shape[0]
     n = parms.degree
     L = parms.nprimes
     mods, op, quot = _limb_stack(parms)
+    if order == "reverse":
+        mods = ma.Mod(*(f[::-1] for f in mods))
+        op, quot = op[::-1], quot[::-1]
+    elif order != "forward":
+        raise ValueError(f"unknown order {order!r}")
     mods = ma.Mod(*(jnp.asarray(f) for f in mods))
     ok_encode = ok_in if ok_in is not None else jnp.ones((B,), bool)
 
@@ -103,7 +114,7 @@ def sym_encrypt_from_pte(pte, sk_signed, share_words, parms: Parms,
 
 def sym_encrypt_limbscan(values, sk_signed, share_words, err_words,
                          parms: Parms, layout: str = "reference",
-                         encode_mode: str = "f64"):
+                         encode_mode: str = "f64", order: str = "forward"):
     """Batched symmetric encode+encrypt: on-device encode + CBD error, then
     the integer limb pipeline."""
     from ..ops.encode import encode_any
@@ -113,9 +124,60 @@ def sym_encrypt_limbscan(values, sk_signed, share_words, err_words,
     e, _ = sp.sample_cbd(err_words, jnp.zeros((B,), jnp.uint32), n)
     pte = pt + e.astype(jnp.int64)
     out = sym_encrypt_from_pte(pte, sk_signed, share_words, parms,
-                               layout=layout, ok_in=ok_encode)
+                               layout=layout, ok_in=ok_encode, order=order)
     out["pt"] = pt
     return out
+
+
+def expand_c1(share_words, parms: Parms, layout: str = "reference",
+              order: str = "forward"):
+    """Regenerate the c1 components from the 64-byte shareable seed — the
+    receiver half of seed-expandable symmetric ciphertexts (the
+    SE_ENABLE_SYM_SEED_CT capability the reference declares but leaves
+    unfinished, seal_embedded.c:184-194; seed-size compatibility with
+    SEAL's compressed cts is why seeds are 64 bytes, defines.h:62-67).
+
+    share_words: u32 (B, 16).  Returns (c1 u32 (L, B, n), ok (B,)) with
+    the exact per-prime counter chaining of the encryptor.
+    """
+    B = share_words.shape[0]
+    n = parms.degree
+    L = parms.nprimes
+    mods = ma.modpack(parms.moduli)
+    if order == "reverse":
+        mods = ma.Mod(*(f[::-1] for f in mods))
+    mods = ma.Mod(*(jnp.asarray(f) for f in mods))
+
+    if layout == "reference":
+        def step(carry, mod):
+            counter, ok = carry
+            a, counter, ok_u = sp.sample_uniform(share_words, counter, n, mod)
+            return (counter, ok & ok_u), a
+
+        (_, ok), c1 = jax.lax.scan(
+            step, (jnp.zeros((B,), jnp.uint32), jnp.ones((B,), bool)),
+            mods, length=L)
+    elif layout == "parallel":
+        counters = (jnp.arange(L, dtype=jnp.uint32) *
+                    jnp.uint32(PARALLEL_COUNTER_STRIDE))
+
+        def limb_fn(mod, counter0):
+            counter = jnp.full((B,), counter0, jnp.uint32)
+            a, _, ok_u = sp.sample_uniform(share_words, counter, n, mod)
+            return a, ok_u
+
+        c1, ok_u = jax.vmap(limb_fn)(mods, counters)
+        ok = ok_u.all(axis=0)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    return c1, ok
+
+
+@lru_cache(maxsize=16)
+def make_c1_expander(parms: Parms, layout: str = "reference",
+                     order: str = "forward"):
+    return jax.jit(partial(expand_c1, parms=parms, layout=layout,
+                           order=order))
 
 
 def add_cbd_error(pt, err_words, n: int):
@@ -127,9 +189,10 @@ def add_cbd_error(pt, err_words, n: int):
 
 @lru_cache(maxsize=16)
 def make_limbscan_encryptor(parms: Parms, layout: str = "reference",
-                            encode_mode: str = "f64"):
+                            encode_mode: str = "f64",
+                            order: str = "forward"):
     return jax.jit(partial(sym_encrypt_limbscan, parms=parms, layout=layout,
-                           encode_mode=encode_mode))
+                           encode_mode=encode_mode, order=order))
 
 
 @lru_cache(maxsize=16)

@@ -216,6 +216,43 @@ def parse_poly_stream(lines) -> list[tuple[str, list]]:
     return out
 
 
+def write_fft_roots(path: str, n: int, logn: int) -> None:
+    """Forward (decode-direction) FFT root table, same indexing as the
+    IFFT table but unconjugated (fileops.c:283 load_fft_roots;
+    generate.cpp forward variant)."""
+    import math
+    m = 2 * n
+    out = np.zeros(2 * n, dtype=np.float64)
+    for i in range(n):
+        k = (bitrev((i - 1) & (n - 1), logn) + 1) & (m - 1)
+        ang = 2 * math.pi * k / m
+        out[2 * i] = math.cos(ang)
+        out[2 * i + 1] = math.sin(ang)
+    out.astype("<f8").tofile(path)
+
+
+# ------------------------------------------------- str_*.h header generation
+
+def _bytes_as_c_array(name: str, data: bytes, per_line: int = 12) -> str:
+    lines = [f"uint8_t {name}[{len(data)}] = {{"]
+    for i in range(0, len(data), per_line):
+        chunk = ", ".join(f"0x{b:02x}" for b in data[i:i + per_line])
+        lines.append("    " + chunk + ",")
+    lines.append("};")
+    return "\n".join(lines) + "\n"
+
+
+def write_str_header(path: str, name: str, data: bytes) -> None:
+    """C-header form of a binary blob — the reference's
+    SE_DATA_FROM_CODE_COPY consumption format (`str_*.h` files the adapter
+    emits next to each .dat, adapter/fileops.cpp:173-304)."""
+    guard = os.path.basename(path).upper().replace(".", "_").replace("-", "_")
+    with open(path, "w") as f:
+        f.write(f"#pragma once\n#include <stdint.h>\n"
+                f"// generated by seal_embedded_tpu ({guard})\n")
+        f.write(_bytes_as_c_array(name, data))
+
+
 # ------------------------------------------------------------- ciphertext bytes
 
 def ct_component_bytes(component) -> bytes:
@@ -226,3 +263,28 @@ def ct_component_bytes(component) -> bytes:
 
 def ct_component_from_bytes(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype="<u4")
+
+
+# ------------------------------------------------- seed-expandable sym ct
+
+SEED_CT_MAGIC = b"SETPU1\x00\x00"
+
+
+def seeded_ct_bytes(share_seed: bytes, c0_components) -> bytes:
+    """Compressed symmetric ciphertext: (magic, n, L, 64-byte shareable
+    seed, c0 per prime).  c1 regenerates from the seed on the receiver
+    (ckks.limbwise.expand_c1) — the SE_ENABLE_SYM_SEED_CT capability
+    (seal_embedded.c:184-194)."""
+    c0 = np.asarray(c0_components, dtype=np.uint32)
+    L, n = c0.shape
+    head = SEED_CT_MAGIC + struct.pack("<II", n, L) + share_seed.ljust(64, b"\x00")
+    return head + c0.astype("<u4").tobytes()
+
+
+def seeded_ct_parse(data: bytes) -> tuple[bytes, np.ndarray]:
+    """Inverse of seeded_ct_bytes: returns (share_seed, c0 (L, n))."""
+    assert data[:8] == SEED_CT_MAGIC, "bad magic"
+    n, L = struct.unpack("<II", data[8:16])
+    seed = data[16:80]
+    c0 = np.frombuffer(data[80:80 + 4 * n * L], dtype="<u4").reshape(L, n)
+    return seed, c0

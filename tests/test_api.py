@@ -1,0 +1,93 @@
+"""Public API surface: streaming callbacks, seed-expandable cts, reverse
+chain walk, config banner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seal_embedded_tpu import api
+from seal_embedded_tpu.config import Parms, PRIMES_27BIT
+from seal_embedded_tpu.io import network, serialize
+
+from conftest import seed_bytes
+
+P1K = Parms(degree=1024, moduli=PRIMES_27BIT[:1], scale=2.0 ** 20)
+
+
+def _ctx():
+    ctx = api.se_setup_custom(1024, 1, 2.0 ** 20, api.SYM,
+                              sk_seed=seed_bytes(1))
+    return ctx
+
+
+def test_send_callback_streaming_order():
+    ctx = _ctx()
+    vals = np.linspace(-1, 1, 512, dtype=np.float32)[None, :]
+    send, store = network.collecting_sender()
+    out = api.se_encrypt_seeded(ctx, vals, share_seeds=[seed_bytes(2)],
+                                seeds=[seed_bytes(3)], send=send)
+    # c0 then c1 per prime per message (seal_embedded.c:180-204)
+    assert len(store) == 2 * ctx.parms.nprimes
+    c0 = np.asarray(out["c0"])
+    assert np.array_equal(serialize.ct_component_from_bytes(store[0]),
+                          c0[0, 0])
+
+
+def test_seeded_ct_roundtrip():
+    from seal_embedded_tpu.ckks.limbwise import make_c1_expander
+    from seal_embedded_tpu.ckks.sym import make_decryptor
+
+    ctx = _ctx()
+    vals = np.linspace(-1, 1, 512, dtype=np.float32)[None, :]
+    send, store = network.collecting_sender()
+    out = api.se_encrypt_seeded(ctx, vals, share_seeds=[seed_bytes(2)],
+                                seeds=[seed_bytes(3)], send=send,
+                                send_seed_only=True)
+    assert len(store) == 1  # one compressed blob per message
+    seed, c0 = serialize.seeded_ct_parse(store[0])
+    assert seed == seed_bytes(2)
+
+    # Receiver side: expand c1 from the seed, then decrypt.
+    from seal_embedded_tpu.ops.keccak import seed_to_words
+    sw = jnp.asarray(seed_to_words(seed)[None, :])
+    c1, ok = make_c1_expander(ctx.parms)(sw)
+    assert bool(np.asarray(ok).all())
+    assert np.array_equal(np.asarray(c1), np.asarray(out["c1"]))
+    cen = make_decryptor(ctx.parms)(
+        jnp.asarray(c0[:, None, :]), c1, jnp.asarray(ctx.sk_signed))
+    assert np.array_equal(np.asarray(cen)[0, 0], np.asarray(out["pte"])[0])
+
+
+def test_reverse_chain_walk():
+    from seal_embedded_tpu.ckks.limbwise import make_limbscan_encryptor
+
+    parms = Parms(degree=64, moduli=PRIMES_27BIT[:3], scale=2.0 ** 20)
+    rng = np.random.default_rng(0)
+    B, n = 2, parms.degree
+    values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
+    sk = jnp.asarray((rng.integers(0, 3, n) - 1).astype(np.int32))
+    share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+    err = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+
+    fwd = make_limbscan_encryptor(parms, "reference", "f64", "forward")(
+        values, sk, share, err)
+    rev = make_limbscan_encryptor(parms, "reference", "f64", "reverse")(
+        values, sk, share, err)
+    assert bool(np.asarray(rev["ok"]).all())
+    # Reverse walk draws prime L-1 first: its c1 equals the forward walk's
+    # prime-0 c1 only when the uniform draw consumed identical counters --
+    # generally different streams, but each (c0, c1) must still decrypt.
+    from seal_embedded_tpu.ckks.sym import make_decryptor
+    parms_rev = Parms(degree=64, moduli=tuple(reversed(parms.moduli)),
+                      scale=parms.scale)
+    cen = np.asarray(make_decryptor(parms_rev)(rev["c0"], rev["c1"], sk))
+    assert np.array_equal(cen[0], np.asarray(rev["pte"]))
+    assert np.array_equal(
+        np.asarray(fwd["pte"]), np.asarray(rev["pte"]))
+
+
+def test_print_config(capsys):
+    ctx = _ctx()
+    banner = api.print_config(ctx)
+    assert "degree" in banner and "1024" in banner
