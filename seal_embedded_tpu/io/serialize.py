@@ -174,6 +174,31 @@ def write_intt_roots(dirpath: str, parms: Parms, fast: bool = False) -> None:
         tbl.astype("<u4").tofile(path)
 
 
+# ------------------------------------------------- load side (fileops.c parity)
+
+def read_index_map(path: str, n: int) -> np.ndarray:
+    """load_index_map (fileops.c:208-225)."""
+    out = np.fromfile(path, dtype="<u2", count=n)
+    assert out.size == n
+    return out.astype(np.int32)
+
+
+def read_ifft_roots(path: str, n: int) -> np.ndarray:
+    """load_ifft_roots (fileops.c:226-255): 2n f64 (re, im interleaved)."""
+    out = np.fromfile(path, dtype="<f8", count=2 * n)
+    assert out.size == 2 * n
+    return out
+
+
+def read_ntt_roots(path: str, n: int, fast: bool = False) -> np.ndarray:
+    """load_ntt_roots / load_ntt_fast_roots (fileops.c:307-392).
+    Regular: (n,) u32 operands.  Fast: (n, 2) u32 (operand, quotient)."""
+    count = 2 * n if fast else n
+    out = np.fromfile(path, dtype="<u4", count=count)
+    assert out.size == count
+    return out.reshape(n, 2) if fast else out
+
+
 # ------------------------------------------------------------- text poly format
 
 def format_poly(name: str, values) -> str:
