@@ -23,6 +23,16 @@ static void fill_seed(uint8_t *seed, uint8_t tag)
     for (size_t i = 0; i < SE_PRNG_SEED_BYTE_COUNT; i++) seed[i] = (uint8_t)(tag + i);
 }
 
+// print_poly_flpt_full uses SE_PRINT_PREC_STR ("%0.2f"), which does not
+// round-trip float32; print values ourselves at 9 significant digits.
+static void print_values_full(const char *name, const flpt *v, size_t len)
+{
+    printf("%s : { ", name);
+    for (size_t i = 0; i < len; i++)
+        printf("%.9g%s", (double)v[i], (i + 1 < len) ? ", " : " ");
+    printf("}\n");
+}
+
 static void set_values(size_t testnum, size_t vlen, flpt *v)
 {
     // Deterministic test patterns (our own; printed so nothing is implicit).
@@ -103,6 +113,9 @@ int main(int argc, char **argv)
         sample_poly_cbd_generic_prng_16(n, &ep_prng, ep);
         print_poly_int8_full("pk_ep", ep, n);
         prng_randomize_reset(&shareable_prng, pk_seed);
+        // pk gen is a symmetric encrypt of zero; walk the chain in sym mode
+        // (ckks_next_prime_sym asserts !is_asymmetric).
+        parms.is_asymmetric = false;
         for (size_t i = 0; i < parms.nprimes; i++)
         {
             ckks_encode_encrypt_sym(&parms, 0, ep, &shareable_prng, s, ntt_pte, ntt_roots,
@@ -111,6 +124,7 @@ int main(int argc, char **argv)
             print_poly_full("pk1", &pk1[i * n], n);
             if (i + 1 < parms.nprimes) ckks_next_prime_sym(&parms, s);
         }
+        parms.is_asymmetric = true;
         ckks_reset_primes(&parms);
     }
 
@@ -118,7 +132,7 @@ int main(int argc, char **argv)
     {
         ckks_reset_primes(&parms);
         set_values(testnum, n / 2, v);
-        print_poly_flpt_full("v", v, n / 2);
+        print_values_full("v", v, n / 2);
 
         bool ret = ckks_encode_base(&parms, v, n / 2, se_ptrs.index_map_ptr, se_ptrs.ifft_roots,
                                     se_ptrs.conj_vals);

@@ -15,6 +15,7 @@ def convert(path, n, nprimes, out):
     data["sk_packed_0"] = np.array(sk[0], dtype=np.uint8)
     t = -1
     ct = 0
+    pk = 0
     for name, vals in polys:
         if name == "v":
             t += 1
@@ -23,14 +24,26 @@ def convert(path, n, nprimes, out):
             data[f"pt_{t}"] = np.array(vals, dtype=np.int64)
         elif name == "pte":
             data[f"pte_{t}"] = np.array(vals, dtype=np.int64)
+        elif name == "pk_ep":
+            data["pk_ep"] = np.array(vals, dtype=np.int8)
+        elif name == "u_packed":
+            data[f"u_packed_{t}"] = np.array(vals, dtype=np.uint8)
+        elif name == "e1":
+            data[f"e1_{t}"] = np.array(vals, dtype=np.int8)
+        elif name.startswith("pk0"):
+            data[f"pk0_{pk}"] = np.array(vals, dtype=np.uint32)
+        elif name.startswith("pk1"):
+            data[f"pk1_{pk}"] = np.array(vals, dtype=np.uint32)
+            pk += 1
         elif name.startswith("c0"):
             data[f"c0_{ct}"] = np.array(vals, dtype=np.uint32)
         elif name.startswith("c1"):
             data[f"c1_{ct}"] = np.array(vals, dtype=np.uint32)
             ct += 1
     assert ct == (t + 1) * nprimes, (ct, t, nprimes)
+    assert pk in (0, nprimes), (pk, nprimes)
     np.savez_compressed(out, **data)
-    print(f"{out}: {t + 1} tests, {nprimes} primes, n={n}")
+    print(f"{out}: {t + 1} tests, {nprimes} primes, n={n}, pk_limbs={pk}")
 
 
 if __name__ == "__main__":
