@@ -33,7 +33,8 @@ def _load(n, nprimes):
     return bytes(data["sk_packed_0"].tolist()), tests
 
 
-@pytest.mark.parametrize("n,nprimes", [(1024, 1), (8192, 3), (16384, 3)])
+@pytest.mark.parametrize("n,nprimes", [(1024, 1), (2048, 1), (8192, 3),
+                                       (16384, 3)])
 def test_sym_pipeline_bit_exact_degree(n, nprimes):
     sk_packed, tests = _load(n, nprimes)
     parms = default_parms(n, nprimes)
