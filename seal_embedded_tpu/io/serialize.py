@@ -202,8 +202,14 @@ def read_ntt_roots(path: str, n: int, fast: bool = False) -> np.ndarray:
 # ------------------------------------------------------------- text poly format
 
 def format_poly(name: str, values) -> str:
-    """print_poly_full text format (util_print.h:499-507)."""
-    body = ", ".join(str(int(v)) for v in values)
+    """print_poly_full text format (util_print.h:499-507).  Integer dtypes
+    print as decimal ints; floats at 9 significant digits (round-trips
+    float32, like the flpt printers with a full-precision format)."""
+    vals = np.asarray(values)
+    if np.issubdtype(vals.dtype, np.floating):
+        body = ", ".join(f"{float(v):.9g}" for v in vals)
+    else:
+        body = ", ".join(str(int(v)) for v in vals)
     return f"{name} : {{ {body} }}\n"
 
 

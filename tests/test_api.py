@@ -91,3 +91,42 @@ def test_print_config(capsys):
     ctx = _ctx()
     banner = api.print_config(ctx)
     assert "degree" in banner and "1024" in banner
+
+
+def test_api_to_adapter_verify(tmp_path):
+    """End-to-end cross-check mirroring the reference's api_tests ->
+    adapter verify_ciphertexts flow (adapter.cpp:29-169): encrypt via the
+    public API, dump cts in the printed-poly text format, then decrypt/
+    decode them with the adapter and compare to the cleartext."""
+    from seal_embedded_tpu import adapter
+    from seal_embedded_tpu.golden.sampling import (
+        sample_small_poly_ternary_96)
+    from seal_embedded_tpu.golden.prng import Prng
+
+    ctx = _ctx()
+    n = ctx.parms.degree
+    # sk file in the reference's 2-bit packed format
+    packed = sample_small_poly_ternary_96(n, Prng(seed_bytes(1)))
+    sk_path = tmp_path / f"sk_{n}.dat"
+    serialize.write_sk(str(sk_path), packed)
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(-1, 1, (3, n // 2)).astype(np.float32)
+    out = api.se_encrypt_seeded(
+        ctx, vals, share_seeds=[seed_bytes(10 + i) for i in range(3)],
+        seeds=[seed_bytes(20 + i) for i in range(3)])
+    assert bool(np.asarray(out["ok"]).all())
+
+    ct_path = tmp_path / "out_sym_api_tests"
+    with open(ct_path, "w") as f:
+        for b in range(3):
+            f.write(serialize.format_poly(
+                "v", np.asarray(vals[b], dtype=np.float64)))
+            for i in range(ctx.parms.nprimes):
+                f.write(serialize.format_poly(
+                    f"c0 (t{b} p{i})", np.asarray(out["c0"])[i, b]))
+                f.write(serialize.format_poly(
+                    f"c1 (t{b} p{i})", np.asarray(out["c1"])[i, b]))
+
+    assert adapter.verify_ciphertexts(
+        str(ct_path), str(sk_path), degree=n, nprimes=ctx.parms.nprimes)
