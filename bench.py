@@ -4,6 +4,13 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): 100,000 bit-exact n=4096 sym
 encryptions/sec on a v5e-8 => per-chip target 12,500 enc/s.
 
+The default run reports the BIT-EXACT configuration as the headline
+(encode="sf": software IEEE-754 f64 on device, ops/f64x.py — ciphertexts
+bit-identical to the C reference), measures the decode-exact fast path
+(encode="dd") alongside in extra, and — when the flagship golden vectors
+apply — re-verifies one golden batch ON THE DEVICE inside the same
+compiled graph before reporting (extra.verify).
+
 Timing uses amortized back-to-back dispatch with a one-element fetch
 barrier, sliced on device (block_until_ready is not a reliable fence on
 the axon tunnel platform, and fetching whole buffers would time the
@@ -15,9 +22,12 @@ Config via env:
   BENCH_DEGREE   polynomial degree (default 4096)
   BENCH_NPRIMES  RNS chain length (default 3)
   BENCH_PIPE     fused | limbwise | asym   (default fused)
-  BENCH_ENCODE   dd | f64                  (default dd: decode-exact TPU
-                 fast path; integer stages are bit-exact either way)
-  BENCH_WHAT     pipeline | ntt | keccak | encode | sample  (default pipeline)
+  BENCH_ENCODE   sf | dd | f64  (default sf: bit-exact; dd is the
+                 decode-exact fast path; integer stages are bit-exact
+                 in every mode)
+  BENCH_DD_TOO   1 (default) also measure encode=dd for extra; 0 skips
+  BENCH_WHAT     pipeline | ntt | keccak | encode | sample | verify
+                 (default pipeline)
 """
 
 import json
@@ -55,7 +65,7 @@ def main():
     degree = int(os.environ.get("BENCH_DEGREE", "4096"))
     nprimes = int(os.environ.get("BENCH_NPRIMES", "3"))
     pipe = os.environ.get("BENCH_PIPE", "fused")
-    encode_mode = os.environ.get("BENCH_ENCODE", "dd")
+    encode_mode = os.environ.get("BENCH_ENCODE", "sf")
     what = os.environ.get("BENCH_WHAT", "pipeline")
 
     parms = default_parms(degree, nprimes)
@@ -64,14 +74,34 @@ def main():
     device = str(jax.devices()[0])
     per_chip_target = 100_000 / 8  # v5e-8 north star split per chip
 
+    if what == "verify":
+        _verify_only(parms, device)
+        return
     if what != "pipeline":
         _component(what, parms, B, iters, rng, device)
         return
 
-    values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
-    sk = jnp.asarray((rng.integers(0, 3, n) - 1).astype(np.int32))
-    share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
-    err = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+    # Inputs: when the flagship golden vectors match this config and the
+    # encode mode is bit-exact, rows 0..G-1 carry the C-reference test
+    # vectors/seeds (same sk, same PRNG seeds) so the exact computation
+    # being timed can be verified bit-for-bit against the reference.
+    gold = _load_golden(parms) if encode_mode in ("sf", "f64") else None
+    values_np = rng.uniform(-1, 1, (B, n // 2)).astype(np.float32)
+    share_np = rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32)
+    err_np = rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32)
+    if gold is not None and pipe in ("fused", "limbwise"):
+        G = gold["G"]
+        values_np[:G] = gold["v"]
+        share_np[:G] = gold["share_words"]
+        err_np[:G] = gold["err_words"]
+        sk_np = gold["sk_signed"]
+    else:
+        gold = None
+        sk_np = (rng.integers(0, 3, n) - 1).astype(np.int32)
+    values = jnp.asarray(values_np)
+    sk = jnp.asarray(sk_np)
+    share = jnp.asarray(share_np)
+    err = jnp.asarray(err_np)
 
     if pipe == "fused":
         from seal_embedded_tpu.ckks.fast import make_fused_encryptor
@@ -101,20 +131,105 @@ def main():
     assert ok, "sampler queue overflow or encode overflow"
     enc_per_s = B / avg_s
 
+    extra = {
+        "batch": B,
+        "iters": iters,
+        "avg_ms": round(avg_s * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "pipe": pipe,
+        "encode": encode_mode,
+        "device": device,
+    }
+
+    if gold is not None:
+        extra["verify"] = _check_golden(out, gold, parms)
+
+    # The decode-exact fast path, measured alongside (same graph shape,
+    # dd encode instead of sf).
+    if (os.environ.get("BENCH_DD_TOO", "1") == "1" and pipe == "fused"
+            and encode_mode != "dd"):
+        from seal_embedded_tpu.ckks.fast import make_fused_encryptor
+        fn_dd = make_fused_encryptor(parms, "dd")
+        avg_dd, compile_dd, out_dd = _time(fn_dd, args, iters)
+        assert bool(np.asarray(out_dd["ok"]).all())
+        extra["dd_enc_per_s"] = round(B / avg_dd, 1)
+        extra["dd_avg_ms"] = round(avg_dd * 1000, 2)
+        extra["dd_compile_s"] = round(compile_dd, 1)
+
     print(json.dumps({
         "metric": metric,
         "value": round(enc_per_s, 1),
         "unit": "enc/s/chip",
         "vs_baseline": round(enc_per_s / per_chip_target, 3),
-        "extra": {
-            "batch": B,
-            "iters": iters,
-            "avg_ms": round(avg_s * 1000, 2),
-            "compile_s": round(compile_s, 1),
-            "pipe": pipe,
-            "encode": encode_mode,
-            "device": device,
-        },
+        "extra": extra,
+    }))
+
+
+def _load_golden(parms):
+    """Flagship golden vectors (captured from the C reference binary) when
+    they match the benched config; None otherwise."""
+    import pathlib
+    path = (pathlib.Path(__file__).parent / "tests" /
+            f"golden_sym_{parms.degree}_{parms.nprimes}.npz")
+    if not path.exists():
+        return None
+    from seal_embedded_tpu.ops import keccak as kc
+    data = np.load(path)
+    G = sum(1 for k in data.files if k.startswith("v_"))
+    n = parms.degree
+    sk_packed = bytes(data["sk_packed_0"].tolist())
+    sk_signed = np.array(
+        [((sk_packed[i // 4] >> (6 - (i % 4) * 2)) & 3) - 1 for i in range(n)],
+        dtype=np.int32)
+
+    def seed_bytes(tag):
+        return bytes((tag + i) & 0xFF for i in range(64))
+
+    L = parms.nprimes
+    return {
+        "G": G,
+        "v": np.stack([data[f"v_{t}"] for t in range(G)]),
+        "share_words": np.tile(kc.seed_to_words(seed_bytes(2)), (G, 1)),
+        "err_words": np.tile(kc.seed_to_words(seed_bytes(3)), (G, 1)),
+        "sk_signed": sk_signed,
+        "c0": [[data[f"c0_{L * t + i}"] for i in range(L)] for t in range(G)],
+        "c1": [[data[f"c1_{L * t + i}"] for i in range(L)] for t in range(G)],
+    }
+
+
+def _check_golden(out, gold, parms):
+    """Bit-compare rows 0..G-1 of a timed batch against the C-reference
+    golden ciphertexts.  Raises on mismatch; returns a marker string."""
+    c0 = np.asarray(out["c0"])
+    c1 = np.asarray(out["c1"])
+    for t in range(gold["G"]):
+        for i in range(parms.nprimes):
+            assert np.array_equal(c0[i, t], gold["c0"][t][i]), \
+                f"golden c0 mismatch test {t} prime {i}"
+            assert np.array_equal(c1[i, t], gold["c1"][t][i]), \
+                f"golden c1 mismatch test {t} prime {i}"
+    return f"golden-bitexact-ok({gold['G']}x{parms.nprimes})"
+
+
+def _verify_only(parms, device):
+    """BENCH_WHAT=verify: re-check the golden vectors on this backend with
+    the fused sf pipeline and emit a one-line result."""
+    import jax.numpy as jnp
+    gold = _load_golden(parms)
+    if gold is None:
+        raise SystemExit(f"no golden vectors for n={parms.degree} "
+                         f"L={parms.nprimes}")
+    from seal_embedded_tpu.ckks.fast import make_fused_encryptor
+    fn = make_fused_encryptor(parms, "sf")
+    out = fn(jnp.asarray(gold["v"]), jnp.asarray(gold["sk_signed"]),
+             jnp.asarray(gold["share_words"]), jnp.asarray(gold["err_words"]))
+    marker = _check_golden(out, gold, parms)
+    print(json.dumps({
+        "metric": f"golden_verify_n{parms.degree}_p{parms.nprimes}",
+        "value": 1.0,
+        "unit": "bitexact",
+        "vs_baseline": 1.0,
+        "extra": {"verify": marker, "device": device},
     }))
 
 

@@ -141,6 +141,11 @@ int main(int argc, char **argv)
 
         if (asym)
         {
+            /* NOTE: err_seed is deliberately REUSED for every test so the
+             * golden vectors are deterministic per message pattern.  This
+             * makes u/e0/e1 identical across the tests under one pk, which
+             * leaks plaintext differences — fine for an oracle, never a
+             * usage example. */
             ckks_asym_init(&parms, err_seed, &prng, se_ptrs.conj_vals_int_ptr, u, e1);
             print_poly_int64_full("pte", se_ptrs.conj_vals_int_ptr, n);
             print_poly_uint8_full("u_packed", (uint8_t *)u, n / 4);

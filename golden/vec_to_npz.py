@@ -27,8 +27,10 @@ def convert(path, n, nprimes, out):
         elif name == "pk_ep":
             data["pk_ep"] = np.array(vals, dtype=np.int8)
         elif name == "u_packed":
+            assert t >= 0, "u_packed line before first 'v' line"
             data[f"u_packed_{t}"] = np.array(vals, dtype=np.uint8)
         elif name == "e1":
+            assert t >= 0, "e1 line before first 'v' line"
             data[f"e1_{t}"] = np.array(vals, dtype=np.int8)
         elif name.startswith("pk0"):
             data[f"pk0_{pk}"] = np.array(vals, dtype=np.uint32)

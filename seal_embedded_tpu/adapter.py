@@ -80,8 +80,16 @@ def verify_ciphertexts(ct_path: str, sk_path: str, degree: int = 4096,
     ct_path: text file of 'name : { ... }' lines as produced by the
     reference's api tests / our io.serialize.format_poly, containing
     c0/c1 lines per prime per test (and optionally the cleartext values).
+
+    Every prime participates: the per-prime components are decrypted and
+    CRT-composed across the full chain (golden.ckks.decrypt_crt — the
+    reference assembles the multi-prime SEAL ct and decrypts it,
+    adapter/fileops.cpp:492-538), then decoded and compared to the
+    cleartext within tol 0.4 (adapter.cpp:130-140; utils.h:212-243).
+    Corruption of ANY prime's component fails the check (negative-tested
+    in tests/test_api.py).
     """
-    from .golden.ckks import decrypt_component
+    from .golden.ckks import decrypt_crt
     from .golden.encode import decode
 
     parms = default_parms(degree, nprimes)
@@ -107,20 +115,28 @@ def verify_ciphertexts(ct_path: str, sk_path: str, degree: int = 4096,
 
     ok_all = True
     for t in range(ntests):
-        centered = decrypt_component(
-            parms, 0, c0s[t * nprimes].tolist(),
-            c1s[t * nprimes].tolist(), packed)
-        dec = np.asarray(decode(parms, centered))
+        comps = [(c0s[t * nprimes + i].tolist(), c1s[t * nprimes + i].tolist())
+                 for i in range(nprimes)]
+        pte = decrypt_crt(parms, comps, packed)
+        # Cross-prime consistency: a valid ct's composed plaintext is tiny
+        # vs Q (message*scale + noise); a corrupted component shifts it by
+        # ~Q/q_i.  int64 is the encode pipeline's own domain bound.
+        if max(abs(x) for x in pte) >= 1 << 62:
+            ok_all = False
+            print(f"test {t}: FAIL (CRT-composed plaintext out of range — "
+                  f"corrupted or inconsistent RNS component)")
+            continue
+        dec = np.asarray(decode(parms, np.array(pte, dtype=np.int64)))
         if t < len(values):
             want = values[t][: n // 2]
             err = float(np.abs(dec[: len(want)] - want).max())
             ok = err < tol
             ok_all &= ok
             print(f"test {t}: decode err {err:.4g} "
-                  f"{'OK' if ok else 'FAIL'}")
+                  f"{'OK' if ok else 'FAIL'} ({nprimes} primes, CRT)")
         else:
-            print(f"test {t}: decoded (no cleartext to compare); "
-                  f"first slots {dec[:4]}")
+            print(f"test {t}: decoded ({nprimes} primes, CRT; no cleartext "
+                  f"to compare); first slots {dec[:4]}")
     return ok_all
 
 

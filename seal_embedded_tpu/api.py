@@ -180,12 +180,19 @@ def se_encrypt_seeded(ctx: SEContext, values: np.ndarray,
 
     if send is not None:
         c0 = np.asarray(out["c0"])
+        # Sanity check before anything leaves the device: every ciphertext
+        # coefficient must be canonical, < its prime (seal_embedded.c:172-177).
+        qs = np.asarray(ctx.parms.moduli, dtype=np.uint32)[:, None, None]
+        if not (c0 < qs).all():
+            raise ValueError("ciphertext c0 coefficient >= modulus")
         if send_seed_only:
             assert ctx.encrypt_type == SYM, "seed-only cts are symmetric"
             for b in range(B):
                 send(serialize.seeded_ct_bytes(share_seeds[b], c0[:, b]))
         else:
             c1 = np.asarray(out["c1"])
+            if not (c1 < qs).all():
+                raise ValueError("ciphertext c1 coefficient >= modulus")
             for b in range(B):
                 for i in range(ctx.parms.nprimes):
                     send(serialize.ct_component_bytes(c0[i, b]))

@@ -15,8 +15,9 @@ the two hot components run as Pallas kernels:
   dependency) plus cheap elementwise modular ops.
 
 Bit-identical to ckks.limbwise.sym_encrypt_limbscan(layout="reference")
-— asserted in tests/test_pipeline.py on the CPU backend with the Pallas
-kernels in interpret mode.
+— asserted in tests/test_fast.py (jnp fallback graph) and, with both
+Pallas kernels forced on in interpret mode, against the C-reference
+golden vectors in tests/test_kernels.py.
 """
 
 from __future__ import annotations
@@ -35,12 +36,25 @@ from ..ops.kernels.ntt import ntt_coeff_major
 from ..ops.ntt import ntt
 
 
+def ntt_impl() -> str:
+    """Choose the all-limb NTT implementation: the Pallas kernel on TPU,
+    the vmapped table-driven jnp NTT elsewhere (bit-identical, tested
+    against each other in tests/test_kernels.py).  Override with
+    SEAL_TPU_NTT=jnp|kernel — forcing "kernel" off-TPU runs the Pallas
+    kernel in interpret mode."""
+    import os
+    forced = os.environ.get("SEAL_TPU_NTT")
+    if forced in ("jnp", "kernel"):
+        return forced
+    return "kernel" if jax.default_backend() == "tpu" else "jnp"
+
+
 def _ntt_all_limbs(x_lbn, moduli):
     """(L, B, n) u32 -> per-limb forward NTT.  Pallas kernel on TPU
     (coefficient-major, one call for the whole limb axis); a vmapped
     table-driven jnp NTT elsewhere (bit-identical, tested against each
     other)."""
-    if jax.default_backend() == "tpu":
+    if ntt_impl() == "kernel":
         L, B, n = x_lbn.shape
         bt = 128
         pad = (-B) % bt
@@ -48,7 +62,7 @@ def _ntt_all_limbs(x_lbn, moduli):
         if pad:
             x = jnp.concatenate(
                 [x, jnp.zeros((L, n, pad), jnp.uint32)], axis=-1)
-        out = ntt_coeff_major(x, moduli, interpret=False)
+        out = ntt_coeff_major(x, moduli)  # interpret auto: off-TPU only
         return jnp.swapaxes(out[..., :B], 1, 2)
     from ..ops import modarith as ma
     from ..ops.ntt import ntt_tables_stacked, ntt_with_tables

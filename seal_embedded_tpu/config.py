@@ -87,10 +87,25 @@ def find_ntt_root(n: int, q: int) -> int:
         return NTT_ROOTS[(n, q)]
     m = 2 * n
     assert (q - 1) % m == 0, f"q={q} has no 2n-th root (q != 1 mod {m})"
-    for w in range(2, q):
-        if pow(w, m // 2, q) != 1 and pow(w, m, q) == 1:
-            return w
-    raise ValueError(f"no primitive {m}-th root mod {q}")
+    # One primitive m-th root: x^((q-1)/m) works iff its order is exactly m
+    # (probability 1/2 per random x since m is a power of two).
+    w0 = None
+    for x in range(2, 10_000):
+        w = pow(x, (q - 1) // m, q)
+        if pow(w, m // 2, q) != 1:
+            w0 = w
+            break
+    if w0 is None:
+        raise ValueError(f"no primitive {m}-th root mod {q}")
+    # All primitive m-th roots are w0^j for odd j; take the minimum (SEAL's
+    # choice).  Walk multiplicatively: one modmul per candidate.
+    step = (w0 * w0) % q
+    best, cur = w0, w0
+    for _ in range(m // 2 - 1):
+        cur = (cur * step) % q
+        if cur < best:
+            best = cur
+    return best
 
 
 def const_ratio(q: int) -> tuple[int, int]:

@@ -169,3 +169,39 @@ def decrypt_decode(parms: Parms, ct: SymCiphertext, sk_packed: bytes,
     centered = decrypt_component(
         parms, prime_idx, *ct.components[prime_idx], sk_packed)
     return decode(parms, centered)
+
+
+def decrypt_crt(parms: Parms, components, sk_packed: bytes) -> list[int]:
+    """Decrypt EVERY RNS component and CRT-compose to the centered
+    plaintext+error mod Q = prod(q_i) — the reference adapter's oracle
+    shape (it assembles the multi-prime SEAL ciphertext from the per-prime
+    dumps and decrypts under the full chain, adapter/fileops.cpp:492-538 +
+    adapter.cpp:130-140).  A corrupted component of ANY prime perturbs the
+    composed value by ~Q and is caught by the decode-tolerance check.
+
+    components: [(c0_i, c1_i)] per prime, coefficient lists.
+    Returns centered big-int coefficients (python ints, |x| <= Q/2).
+    """
+    L = parms.nprimes
+    assert len(components) == L, (len(components), L)
+    moduli = [int(q) for q in parms.moduli[:L]]
+    Q = 1
+    for q in moduli:
+        Q *= q
+    # Per-prime uncentered residues.
+    residues = []
+    for i, (c0, c1) in enumerate(components):
+        centered = decrypt_component(parms, i, list(c0), list(c1), sk_packed)
+        q = moduli[i]
+        residues.append([int(x) % q for x in centered])
+    # Garner-free CRT: x = sum r_i * (Q/q_i) * ((Q/q_i)^-1 mod q_i) mod Q.
+    basis = []
+    for q in moduli:
+        m = Q // q
+        basis.append(m * pow(m % q, -1, q))
+    n = parms.degree
+    out = []
+    for j in range(n):
+        x = sum(residues[i][j] * basis[i] for i in range(L)) % Q
+        out.append(x - Q if x > Q // 2 else x)
+    return out

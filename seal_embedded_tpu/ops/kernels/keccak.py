@@ -89,27 +89,41 @@ def _permute(lo, hi):
     return lo, hi
 
 
+def absorb_planes(seed_words, ctr_words):
+    """Post-absorb state words for shake256(seed||counter_le8) as a list of
+    50 vreg planes (word 2k = lane k lo, 2k+1 = lane k hi).
+
+    72-byte block = 16 seed words + 2 counter words + multi-rate padding
+    (0x1F at byte 72 => word 18; 0x80 at byte 135 => word 33 top byte),
+    capacity words zero (rng.h:78-84 construction).  Pure jnp on (8, 128)
+    planes — shared by the Pallas kernel body and the CPU bit-exactness
+    tests (tests/test_kernels.py), where the full Pallas interpret path is
+    too slow to execute.
+    """
+    shape = seed_words[0].shape
+    st = [None] * 50
+    for w in range(16):
+        st[w] = seed_words[w]
+    st[16], st[17] = ctr_words[0], ctr_words[1]
+    st[18] = jnp.full(shape, np.uint32(0x1F), U32)
+    zero = jnp.zeros(shape, U32)
+    for w in range(19, 33):
+        st[w] = zero
+    st[33] = jnp.full(shape, np.uint32(0x80000000), U32)
+    for w in range(34, 50):
+        st[w] = zero
+    return st
+
+
 def _kernel(seed_ref, ctr_ref, out_ref, st_ref):
     """Grid: (ntiles, nblocks).  seed (1,16,8,128); ctr (1,2,8,128);
     out (1,34,8,128) per block; st scratch (50,8,128) persists over blocks."""
     @pl.when(pl.program_id(1) == 0)
     def _():
-        # Absorb: 72-byte block = 16 seed words + 2 counter words + padding
-        # (0x1F at byte 72 => word 18; 0x80 at byte 135 => word 33 top byte),
-        # capacity words zero.  Word 2k -> lane k lo, 2k+1 -> lane k hi.
-        for k in range(8):
-            st_ref[2 * k] = seed_ref[0, 2 * k]
-            st_ref[2 * k + 1] = seed_ref[0, 2 * k + 1]
-        st_ref[16] = ctr_ref[0, 0]
-        st_ref[17] = ctr_ref[0, 1]
-        pad18 = jnp.full((_TSUB, _TLANE), np.uint32(0x1F), U32)
-        st_ref[18] = pad18
-        zero = jnp.zeros((_TSUB, _TLANE), U32)
-        for w in range(19, 33):
-            st_ref[w] = zero
-        st_ref[33] = jnp.full((_TSUB, _TLANE), np.uint32(0x80000000), U32)
-        for w in range(34, 50):
-            st_ref[w] = zero
+        st = absorb_planes([seed_ref[0, w] for w in range(16)],
+                           [ctr_ref[0, 0], ctr_ref[0, 1]])
+        for w in range(50):
+            st_ref[w] = st[w]
 
     lo = [st_ref[2 * k] for k in range(25)]
     hi = [st_ref[2 * k + 1] for k in range(25)]

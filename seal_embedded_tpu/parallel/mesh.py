@@ -43,10 +43,11 @@ def sym_encrypt_sharded(mesh: Mesh, parms: Parms):
     """jit sym_encrypt_batch with batch sharded over 'data' and the RNS
     output axis sharded over 'limb'.
 
-    The per-prime compute replicates over the limb axis at trace level but
-    XLA's SPMD partitioner splits the batch across 'data'; output components
-    land limb-sharded for streaming.  (True limb-parallel compute lives in
-    the limb-vectorized path; see parallel/limbwise.py.)
+    GSPMD convenience wrapper: the batch splits across 'data' and output
+    components land limb-sharded for streaming, but the per-prime compute
+    is whatever the partitioner infers.  For guaranteed limb-parallel
+    compute (each device owns its primes end-to-end via shard_map) use
+    parallel.limbwise.make_limb_sharded_encryptor instead.
     """
     from ..ckks.sym import sym_encrypt_batch
 

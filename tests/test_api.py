@@ -130,3 +130,52 @@ def test_api_to_adapter_verify(tmp_path):
 
     assert adapter.verify_ciphertexts(
         str(ct_path), str(sk_path), degree=n, nprimes=ctx.parms.nprimes)
+
+
+def test_adapter_verify_multiprime_and_corruption(tmp_path):
+    """adapter verify decrypts EVERY prime (CRT-composed): corrupting any
+    single prime's component must fail the check (VERDICT r02 weak #4 /
+    adapter.cpp:130-140 oracle strength)."""
+    from seal_embedded_tpu import adapter
+    from seal_embedded_tpu.golden.prng import Prng
+    from seal_embedded_tpu.golden.sampling import (
+        sample_small_poly_ternary_96)
+
+    ctx = api.se_setup_default(api.SYM, sk_seed=seed_bytes(1))
+    n, L = 4096, 3
+    packed = sample_small_poly_ternary_96(n, Prng(seed_bytes(1)))
+    sk_path = tmp_path / f"sk_{n}.dat"
+    serialize.write_sk(str(sk_path), packed)
+
+    rng = np.random.default_rng(9)
+    vals = rng.uniform(-1, 1, (2, n // 2)).astype(np.float32)
+    out = api.se_encrypt_seeded(
+        ctx, vals, share_seeds=[seed_bytes(30 + i) for i in range(2)],
+        seeds=[seed_bytes(40 + i) for i in range(2)])
+    assert bool(np.asarray(out["ok"]).all())
+
+    def dump(path, corrupt_prime=None):
+        c0 = np.asarray(out["c0"]).copy()
+        if corrupt_prime is not None:
+            c0[corrupt_prime, 0, 5] ^= 1  # flip one coefficient bit
+        with open(path, "w") as f:
+            for b in range(2):
+                f.write(serialize.format_poly(
+                    "v", np.asarray(vals[b], dtype=np.float64)))
+                for i in range(L):
+                    f.write(serialize.format_poly(f"c0 (t{b} p{i})",
+                                                  c0[i, b]))
+                    f.write(serialize.format_poly(
+                        f"c1 (t{b} p{i})", np.asarray(out["c1"])[i, b]))
+
+    good = tmp_path / "cts_good"
+    dump(good)
+    assert adapter.verify_ciphertexts(str(good), str(sk_path),
+                                      degree=n, nprimes=L)
+    # Corrupting the LAST prime (the one the old single-prime verify never
+    # looked at) must now fail.
+    for p in (2, 1):
+        bad = tmp_path / f"cts_bad_{p}"
+        dump(bad, corrupt_prime=p)
+        assert not adapter.verify_ciphertexts(str(bad), str(sk_path),
+                                              degree=n, nprimes=L), p

@@ -1,7 +1,9 @@
 """Full-degree coverage: the jnp pipeline must be bit-exact against the C
 reference at every supported ring degree (1024, 8192, 16384 here; 4096 is
-covered exhaustively in test_pipeline.py).  Vectors from golden_driver.c
-(seeds: sk=tag1, share=tag2, err=tag3)."""
+covered exhaustively in test_pipeline.py), including the reference's
+full-depth default chains — 6 primes at n=8192 and 13 primes at n=16384
+(/root/reference/device/lib/parameters.c:159-174).  Vectors from
+golden_driver.c (seeds: sk=tag1, share=tag2, err=tag3)."""
 
 import pathlib
 
@@ -34,7 +36,7 @@ def _load(n, nprimes):
 
 
 @pytest.mark.parametrize("n,nprimes", [(1024, 1), (2048, 1), (8192, 3),
-                                       (16384, 3)])
+                                       (16384, 3), (8192, 6), (16384, 13)])
 def test_sym_pipeline_bit_exact_degree(n, nprimes):
     sk_packed, tests = _load(n, nprimes)
     parms = default_parms(n, nprimes)

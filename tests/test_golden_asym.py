@@ -27,6 +27,10 @@ N = P.degree
 def golden_asym():
     data = np.load(pathlib.Path(__file__).parent / "golden_asym_4096_3.npz")
     ntests = sum(1 for k in data.files if k.startswith("v_"))
+    # Limb count inferred from the npz itself (not hardcoded) so vectors
+    # regenerated with a different prime chain fail loudly, not confusingly.
+    L = sum(1 for k in data.files if k.startswith("pk0_"))
+    assert L * ntests == sum(1 for k in data.files if k.startswith("c0_"))
     tests = []
     for t in range(ntests):
         tests.append({
@@ -35,14 +39,14 @@ def golden_asym():
             "pte": data[f"pte_{t}"],
             "u_packed": data[f"u_packed_{t}"],
             "e1": data[f"e1_{t}"],
-            "c0": [data[f"c0_{3 * t + i}"] for i in range(3)],
-            "c1": [data[f"c1_{3 * t + i}"] for i in range(3)],
+            "c0": [data[f"c0_{L * t + i}"] for i in range(L)],
+            "c1": [data[f"c1_{L * t + i}"] for i in range(L)],
         })
     return {
         "sk_packed": bytes(data["sk_packed_0"].tolist()),
         "ep": data["pk_ep"],
-        "pk0": [data[f"pk0_{i}"] for i in range(3)],
-        "pk1": [data[f"pk1_{i}"] for i in range(3)],
+        "pk0": [data[f"pk0_{i}"] for i in range(L)],
+        "pk1": [data[f"pk1_{i}"] for i in range(L)],
         "tests": tests,
     }
 

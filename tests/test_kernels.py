@@ -1,0 +1,168 @@
+"""Pallas TPU kernel correctness coverage (interpret mode on CPU).
+
+The Pallas kernels are the entire TPU fast path; here they run in
+interpret mode so CI executes every kernel line and asserts
+bit-exactness:
+
+* ``ops.kernels.ntt.ntt_coeff_major`` vs the jnp ``ops.ntt.ntt`` per limb
+  (the oracle role of /root/reference/device/test/ntt_tests.c:49-103);
+* ``ops.kernels.keccak`` compute body (absorb_planes + _permute + rate
+  extraction) vs hashlib's SHAKE-256 and the jnp Keccak;
+* the fused symmetric pipeline with the Pallas NTT kernel forced on vs
+  the bit-exact golden vectors captured from the C reference
+  (golden_sym_4096_3.npz).
+
+On hardware, every default bench.py run re-verifies a golden batch
+bit-for-bit on the real TPU with BOTH Pallas kernels active (rows 0..G-1
+of the timed batch are the C-reference vectors), and BENCH_WHAT=verify
+runs that check standalone.
+"""
+
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seal_embedded_tpu.config import default_parms
+from seal_embedded_tpu.ops import keccak as kc
+from seal_embedded_tpu.ops.ntt import ntt
+from seal_embedded_tpu.ops.kernels.ntt import ntt_coeff_major, ntt_batch_bn
+from seal_embedded_tpu.ops.kernels.keccak import (T_STREAMS,
+                                                  shake256_words_kernel)
+
+from conftest import seed_bytes
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_ntt_kernel_bit_exact_vs_jnp(n):
+    """Interpret-mode Pallas NTT == jnp NTT, bit for bit, per limb."""
+    P = default_parms(n, 3 if n >= 4096 else 1)
+    moduli = tuple(int(q) for q in P.moduli)
+    L, B = len(moduli), 128
+    rng = np.random.default_rng(n)
+    x = rng.integers(0, max(moduli), (L, n, B), dtype=np.uint64)
+    x = x.astype(np.uint32)
+
+    out = np.asarray(ntt_coeff_major(jnp.asarray(x), moduli, interpret=True))
+    for l, q in enumerate(moduli):
+        want = np.asarray(ntt(jnp.asarray(x[l].T), q))  # (B, n)
+        assert np.array_equal(out[l], want.T), f"limb {l} (q={q})"
+
+
+def test_ntt_kernel_batch_bn_wrapper():
+    """(L, B, n)-layout wrapper matches the jnp NTT, multiple batch tiles."""
+    n, B = 1024, 256  # 2 batch tiles exercises the grid's batch axis
+    P = default_parms(n, 1)
+    q = int(P.moduli[0])
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, q, (1, B, n), dtype=np.uint64).astype(np.uint32)
+    out = np.asarray(ntt_batch_bn(jnp.asarray(x), (q,), interpret=True))
+    want = np.asarray(ntt(jnp.asarray(x[0]), q))
+    assert np.array_equal(out[0], want)
+
+
+def _tile_streams(arr_nw):
+    """(T_STREAMS, W) stream-major -> list of W (8, 128) vreg planes (the
+    kernel's in-tile layout, kernels/keccak.py wrapper)."""
+    N, W = arr_nw.shape
+    assert N == T_STREAMS
+    planes = arr_nw.T.reshape(W, 8, 128)
+    return [jnp.asarray(planes[w]) for w in range(W)]
+
+
+def test_keccak_kernel_body_vs_hashlib():
+    """The Pallas keccak kernel's exact compute body — absorb_planes +
+    _permute + rate-word extraction on (8, 128) vregs — squeezed for two
+    blocks, bit-exact vs hashlib SHAKE-256 over seed||counter_le8.
+
+    (The full pallas_call runs interpret-mode orders of magnitude too slow
+    for CI on this kernel — ~1800 vector ops/step — so CI executes the
+    body functions directly; the pallas_call plumbing itself is exercised
+    bit-exactly on hardware by bench.py's golden verify, which runs the
+    fused sf pipeline with this kernel and asserts C-reference equality.)
+    """
+    from seal_embedded_tpu.ops.kernels.keccak import _permute, absorb_planes
+
+    rng = np.random.default_rng(11)
+    sw = rng.integers(0, 2 ** 32, (T_STREAMS, 16)).astype(np.uint32)
+    ctr = rng.integers(0, 2 ** 32, (T_STREAMS, 2)).astype(np.uint32)
+    # Pin a few canonical streams.
+    for i, (s, c) in enumerate([(seed_bytes(2), 0), (seed_bytes(3), 1),
+                                (bytes(64), 0xDEADBEEF)]):
+        sw[i] = kc.seed_to_words(s)
+        ctr[i] = [c & 0xFFFFFFFF, c >> 32]
+
+    st = absorb_planes(_tile_streams(sw), _tile_streams(ctr))
+    outs = []
+    lo = [st[2 * k] for k in range(25)]
+    hi = [st[2 * k + 1] for k in range(25)]
+    for _ in range(2):  # two squeezed blocks: state persistence across grid
+        lo, hi = _permute(lo, hi)
+        rate = []
+        for k in range(17):
+            rate += [lo[k], hi[k]]
+        outs.append(np.stack([np.asarray(w).reshape(-1) for w in rate], -1))
+    got = np.concatenate(outs, axis=-1)  # (T_STREAMS, 68)
+
+    for i in range(8):  # spot-check streams incl. the pinned ones
+        seed = np.asarray(sw[i], dtype="<u4").tobytes()
+        c = int(ctr[i][0]) | (int(ctr[i][1]) << 32)
+        want = hashlib.shake_256(seed + c.to_bytes(8, "little")).digest(272)
+        assert kc.words_to_bytes_np(got[i]) == want, f"stream {i}"
+
+
+def test_keccak_kernel_permute_vs_jnp():
+    """Kernel _permute == ops.keccak.keccak_f1600 on random full states."""
+    from seal_embedded_tpu.ops.kernels.keccak import _permute
+
+    rng = np.random.default_rng(13)
+    lo_np = rng.integers(0, 2 ** 32, (25, 8, 128)).astype(np.uint32)
+    hi_np = rng.integers(0, 2 ** 32, (25, 8, 128)).astype(np.uint32)
+    lo, hi = _permute([jnp.asarray(x) for x in lo_np],
+                      [jnp.asarray(x) for x in hi_np])
+    # jnp path wants (..., 25) lane-minor
+    jlo, jhi = kc.keccak_f1600(
+        jnp.asarray(np.moveaxis(lo_np, 0, -1)),
+        jnp.asarray(np.moveaxis(hi_np, 0, -1)))
+    assert np.array_equal(np.stack([np.asarray(x) for x in lo]),
+                          np.moveaxis(np.asarray(jlo), -1, 0))
+    assert np.array_equal(np.stack([np.asarray(x) for x in hi]),
+                          np.moveaxis(np.asarray(jhi), -1, 0))
+
+
+def test_fused_pipeline_ntt_kernel_forced_golden(golden_sym, monkeypatch):
+    """Full fused symmetric pipeline with the Pallas NTT kernel forced on
+    (interpret mode) — bit-exact vs the C-reference golden vectors.
+    (Keccak stays on the jnp path here: its Pallas interpret cost is
+    prohibitive on CPU; its compute body is covered bit-exactly above and
+    the full kernel on hardware by bench.py's golden verify.)"""
+    from functools import partial
+    from seal_embedded_tpu.ckks import fast
+    from seal_embedded_tpu.ckks.fast import sym_encrypt_fused
+
+    monkeypatch.setenv("SEAL_TPU_NTT", "kernel")
+    assert fast.ntt_impl() == "kernel"
+
+    P = default_parms(4096, 3)
+    n = P.degree
+    sk_packed = golden_sym["sk_packed"]
+    sk_signed = np.array(
+        [((sk_packed[i // 4] >> (6 - (i % 4) * 2)) & 3) - 1 for i in range(n)],
+        dtype=np.int32)
+    tests = golden_sym["tests"][:3]  # 3 messages keep interpret mode tractable
+    vs = np.stack([t["v"] for t in tests])
+    B = vs.shape[0]
+    share = jnp.asarray(np.tile(kc.seed_to_words(seed_bytes(2)), (B, 1)))
+    err = jnp.asarray(np.tile(kc.seed_to_words(seed_bytes(3)), (B, 1)))
+
+    out = jax.jit(partial(sym_encrypt_fused, parms=P, encode_mode="f64"))(
+        jnp.asarray(vs), jnp.asarray(sk_signed), share, err)
+    assert bool(np.asarray(out["ok"]).all())
+    c0, c1 = np.asarray(out["c0"]), np.asarray(out["c1"])
+    for b, t in enumerate(tests):
+        assert np.array_equal(np.asarray(out["pte"])[b], t["pte"]), f"pte {b}"
+        for i in range(P.nprimes):
+            assert np.array_equal(c0[i, b], t["c0"][i]), f"c0 t{b} p{i}"
+            assert np.array_equal(c1[i, b], t["c1"][i]), f"c1 t{b} p{i}"
