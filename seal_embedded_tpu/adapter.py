@@ -50,7 +50,8 @@ def gen_save_all(outdir: str, degree: int = 4096, nprimes: int = 3,
     sk_packed = sample_small_poly_ternary_96(n, Prng(sk_seed))
     serialize.write_sk(os.path.join(outdir, f"sk_{n}.dat"), sk_packed)
 
-    pk = gen_pk(parms, sk_packed, seed=pk_seed or os.urandom(64))
+    pk_seed = pk_seed or os.urandom(64)
+    pk = gen_pk(parms, sk_packed, seed=pk_seed)
     serialize.write_pk(outdir, parms, pk.components)
 
     from .ops.encode import index_map_np
@@ -64,11 +65,94 @@ def gen_save_all(outdir: str, degree: int = 4096, nprimes: int = 3,
     serialize.write_ntt_roots(outdir, parms, fast=True)
     serialize.write_intt_roots(outdir, parms, fast=False)
     serialize.write_intt_roots(outdir, parms, fast=True)
-    # str_*.h headers: the SE_DATA_FROM_CODE_COPY consumption format.
-    serialize.write_str_header(
-        os.path.join(outdir, f"str_sk_{n}.h"), "secret_key", sk_packed)
+    # str_*.h headers: the SE_DATA_FROM_CODE_COPY consumption format —
+    # the adapter's full emitted set (fileops.cpp:86-161, 173-304).
+    serialize.write_sk_str_header(
+        os.path.join(outdir, f"str_sk_{n}.h"), n, sk_packed)
+    serialize.write_pk_str_headers(outdir, parms, pk.components)
+
+    # SEAL 3.7.2 native streams under the key context (device chain +
+    # special prime), the format fileops.cpp:379-436 saves/loads.
+    _write_seal_streams(outdir, parms, sk_packed, pk, pk_seed=pk_seed)
     return {"parms": parms, "sk_packed": sk_packed, "pk": pk,
             "outdir": outdir}
+
+
+def _write_seal_streams(outdir: str, parms: Parms, sk_packed: bytes,
+                        pk, pk_seed: bytes | None) -> None:
+    """sk/pk as SEAL-native streams (io/sealstream.py).
+
+    The key context includes the special prime (possibly >32 bits), so
+    these components are computed with the arbitrary-precision golden
+    NTT.  The special-prime pk component extends the device keygen's
+    counter chain with one more uniform draw (64-bit rejection sampling —
+    a framework convention documented in sealstream.py; real SEAL keygen
+    is not reproducible without SEAL's own PRNG)."""
+    import hashlib
+
+    from .config import find_ntt_root
+    from .golden.ntt import ntt_inpl
+    from .golden.prng import Prng
+    from .golden.sampling import (expand_poly_ternary, sample_poly_cbd_16,
+                                  sample_poly_uniform)
+    from .io import sealstream as ss
+
+    n, logn = parms.degree, parms.logn
+    kmods = ss.key_context_moduli(parms)
+
+    sk_ntt = np.zeros((len(kmods), n), dtype=np.uint64)
+    for i, q in enumerate(kmods):
+        w = find_ntt_root(n, q)
+        s = expand_poly_ternary(sk_packed, n, q)
+        sk_ntt[i] = np.array(ntt_inpl(s, n, logn, q, w), dtype=np.uint64)
+    with open(os.path.join(outdir, f"sk_seal_{n}.dat"), "wb") as f:
+        f.write(ss.save_secret_key(parms, sk_ntt))
+
+    if pk is not None:
+        L = parms.nprimes
+        pk0 = np.zeros((len(kmods), n), dtype=np.uint64)
+        pk1 = np.zeros((len(kmods), n), dtype=np.uint64)
+        for i in range(L):
+            pk0[i] = np.array(pk.components[i][0], dtype=np.uint64)
+            pk1[i] = np.array(pk.components[i][1], dtype=np.uint64)
+        if len(kmods) > L and pk_seed is not None:
+            sp = kmods[L]
+            w = find_ntt_root(n, sp)
+            # The special-prime component continues the shareable stream
+            # after the L device-prime draws (replay them to advance the
+            # counter identically to golden.ckks.gen_pk).
+            prng = Prng(pk_seed)
+            for q in parms.moduli:
+                sample_poly_uniform(n, int(q), prng)
+            a = _sample_uniform_u64(prng, n, sp)
+            s = expand_poly_ternary(sk_packed, n, sp)
+            ntt_s = ntt_inpl(s, n, logn, sp, w)
+            ep_prng = Prng(hashlib.shake_256(pk_seed + b"ep").digest(64))
+            ep = sample_poly_cbd_16(n, ep_prng)
+            ntt_ep = ntt_inpl([int(x) % sp for x in ep], n, logn, sp, w)
+            pk0[L] = np.array(
+                [(sp - (x * y) % sp + z) % sp
+                 for x, y, z in zip(ntt_s, a, ntt_ep)], dtype=np.uint64)
+            pk1[L] = np.array(a, dtype=np.uint64)
+        with open(os.path.join(outdir, f"pk_seal_{n}.dat"), "wb") as f:
+            f.write(ss.save_public_key(parms, pk0, pk1))
+
+
+def _sample_uniform_u64(prng, n: int, q: int) -> list[int]:
+    """Uniform mod q for a >32-bit key prime: 8-byte LE draws with
+    rejection above the largest multiple of q below 2^64 (the 64-bit
+    analog of sample.c:39-57)."""
+    max_multiple = (1 << 64) - ((1 << 64) % q)
+    out = []
+    buf = b""
+    while len(out) < n:
+        if len(buf) < 8:
+            buf += prng.fill(136)
+        v = int.from_bytes(buf[:8], "little")
+        buf = buf[8:]
+        if v < max_multiple:
+            out.append(v % q)
+    return out
 
 
 def verify_ciphertexts(ct_path: str, sk_path: str, degree: int = 4096,

@@ -284,6 +284,75 @@ def write_str_header(path: str, name: str, data: bytes) -> None:
         f.write(_bytes_as_c_array(name, data))
 
 
+def write_sk_str_header(path: str, n: int, sk_packed: bytes) -> None:
+    """`str_sk_<n>.h` in the adapter's exact emitted structure
+    (adapter/fileops.cpp:86-161): decimal 2-bit-packed bytes in a
+    `uint8_t secret_key[n/4]` array behind the SE_DATA_FROM_CODE guards."""
+    nbytes = n // 4
+    assert len(sk_packed) == nbytes
+    with open(path, "w") as f:
+        f.write('#pragma once\n\n#include "defines.h"\n\n')
+        f.write("#if defined(SE_DATA_FROM_CODE_COPY) || "
+                "defined(SE_DATA_FROM_CODE_DIRECT)\n")
+        f.write("\n#include <stdint.h>\n\n")
+        f.write("#ifdef SE_DATA_FROM_CODE_COPY\nconst\n#endif\n")
+        f.write(f"// -- Secret key for polynomial ring degree = {n}\n")
+        f.write(f"uint8_t secret_key[{nbytes}] = {{ ")
+        parts = []
+        for i in range(0, n, 4):
+            byte = sk_packed[i // 4]
+            pad = "  " if byte < 10 else (" " if byte < 100 else "")
+            nl = "\n" if (i % 64) == 0 else ""
+            sep = ", " if (i + 4) < n else "};\n"
+            parts.append(f"{pad}{byte}{sep}{nl}")
+        f.write("".join(parts))
+        f.write("#endif\n")
+
+
+def write_pk_str_headers(dirpath: str, parms: Parms, pk_components) -> None:
+    """The adapter's full pk header set (adapter/fileops.cpp:173-304):
+    per-prime `str_pk<k>_ntt_<n>_<q>.h` files declaring
+    `ZZ pk<k>_prime<t>[n] = {0x..., ...}` plus the address-array header
+    `str_pk_addr_array.h` with `ZZ* pk_prime_addr[L][2]` that the device
+    indexes per prime under SE_DATA_FROM_CODE (fileops.c load_pki)."""
+    n = parms.degree
+    L = parms.nprimes
+    addr_path = os.path.join(dirpath, "str_pk_addr_array.h")
+    with open(addr_path, "w") as f3:
+        f3.write('#pragma once\n\n#include "defines.h"\n\n')
+        f3.write("#if defined(SE_DATA_FROM_CODE_COPY) || "
+                 "defined(SE_DATA_FROM_CODE_DIRECT)\n\n")
+        includes = []
+        addr_rows = []
+        for t, q in enumerate(parms.moduli):
+            q = int(q)
+            for k in (0, 1):
+                common = f"pk{k}_ntt_{n}_{q}"
+                includes.append(f'   #include "str_{common}.h"\n')
+                vals = np.asarray(pk_components[t][k], dtype=np.uint64)
+                with open(os.path.join(dirpath, f"str_{common}.h"),
+                          "w") as f2:
+                    f2.write('#pragma once\n\n#include "defines.h"\n\n')
+                    f2.write("#if defined(SE_DATA_FROM_CODE_COPY) || "
+                             "defined(SE_DATA_FROM_CODE_DIRECT)\n")
+                    f2.write("#ifdef SE_DATA_FROM_CODE_COPY\nconst\n#endif\n")
+                    f2.write(f"ZZ pk{k}_prime{t}[{n}] = {{ \n")
+                    parts = []
+                    for i, v in enumerate(vals):
+                        sep = ", " if (i + 1) < n else "};\n"
+                        nl = "\n" if (i % 8) == 0 else ""
+                        parts.append(f"0x{int(v) & 0xFFFFFFFF:x}{sep}{nl}")
+                    f2.write("".join(parts))
+                    f2.write("#endif\n")
+            addr_rows.append(f"    {{&(pk0_prime{t}[0]),"
+                             f" &(pk1_prime{t}[0])}}")
+        f3.write("".join(includes))
+        f3.write("\n")
+        f3.write(f"ZZ* pk_prime_addr[{L}][2] = \n{{\n")
+        f3.write(",\n".join(addr_rows) + "\n};\n")
+        f3.write("#endif\n")
+
+
 # ------------------------------------------------------------- ciphertext bytes
 
 def ct_component_bytes(component) -> bytes:
