@@ -14,14 +14,25 @@ from seal_embedded_tpu.parallel.mesh import make_mesh, sym_encrypt_sharded
 Q27 = PRIMES_27BIT[0]
 
 
+@pytest.mark.parametrize("variant", ["staged", "4step"])
 @pytest.mark.parametrize("n,ndev", [(256, 8), (512, 4), (64, 8)])
-def test_coeff_sharded_ntt_bit_exact(n, ndev):
+def test_coeff_sharded_ntt_bit_exact(n, ndev, variant):
     mesh = make_mesh(n_data=ndev, n_limb=1, devices=jax.devices()[:ndev])
     rng = np.random.default_rng(n)
     x = jnp.asarray(rng.integers(0, Q27, (3, n)).astype(np.uint32))
-    got = ntt_coeff_sharded(mesh, n, Q27, axis="data")(x)
+    got = ntt_coeff_sharded(mesh, n, Q27, axis="data", variant=variant)(x)
     want = ntt(x, Q27)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_coeff_sharded_ntt_4step_flagship_degree():
+    """n=4096 over 8 devices: the production 4-step plan, panel 512x64."""
+    mesh = make_mesh(n_data=8, n_limb=1)
+    n = 4096
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.integers(0, Q27, (2, n)).astype(np.uint32))
+    got = ntt_coeff_sharded(mesh, n, Q27, axis="data", variant="4step")(x)
+    assert np.array_equal(np.asarray(got), np.asarray(ntt(x, Q27)))
 
 
 def test_sym_encrypt_sharded_matches_unsharded():
