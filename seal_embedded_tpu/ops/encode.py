@@ -270,29 +270,47 @@ def encode_sf(values, parms: Parms):
         p = fx.reshape(x, pair_shape)
         return fx.index(p, np.s_[..., 0]), fx.index(p, np.s_[..., 1])
 
+    # All butterfly arithmetic runs the no-subnormal fast rounding; the
+    # running masked-min of every op's output exponent (guard_min_e)
+    # proves per batch element that the fast path was exact (see
+    # f64x.safe_e_floor()) and lands in the pipeline's ok flag.
+    acc0 = jnp.zeros(batch_shape + (n // 2,), jnp.int32)
+
     def body(carry, s):
-        re, im = carry
+        re, im, acc = carry
         sre, sim = s
         ure, wre = split(re)
         uim, wim = split(im)
         # u' = u + w;  w' = (u - w) * s  (fft.c:117-144, complex).
-        dre = fx.sub(ure, wre)
-        dim_ = fx.sub(uim, wim)
-        bre = fx.sub(fx.mul(dre, sre), fx.mul(dim_, sim))
-        bim = fx.add(fx.mul(dre, sim), fx.mul(dim_, sre))
+        dre = fx.sub(ure, wre, False)
+        dim_ = fx.sub(uim, wim, False)
+        p1 = fx.mul(dre, sre, False)
+        p2 = fx.mul(dim_, sim, False)
+        p3 = fx.mul(dre, sim, False)
+        p4 = fx.mul(dim_, sre, False)
+        bre = fx.sub(p1, p2, False)
+        bim = fx.add(p3, p4, False)
+        are = fx.add(ure, wre, False)
+        aim = fx.add(uim, wim, False)
+        acc = fx.guard_min_e(acc, dre, dim_, p1, p2, p3, p4,
+                             bre, bim, are, aim)
         re = fx.F64X(*(jnp.concatenate(p, axis=-1)
-                       for p in zip(fx.add(ure, wre), bre)))
+                       for p in zip(are, bre)))
         im = fx.F64X(*(jnp.concatenate(p, axis=-1)
-                       for p in zip(fx.add(uim, wim), bim)))
-        return (re, im), None
+                       for p in zip(aim, bim)))
+        return (re, im, acc), None
 
-    (re, im), _ = jax.lax.scan(body, (re, im), (s_fx, c_fx))
+    (re, im, acc), _ = jax.lax.scan(body, (re, im, acc0), (s_fx, c_fx))
 
     n_inv = fx.from_np_f64(np.float64(parms.scale) / np.float64(parms.degree))
     x = fx.mul(re, fx.F64X(*(jnp.asarray(p).reshape((1,) * len(flat_shape))
-                             for p in n_inv)))
+                             for p in n_inv)), False)
+    accx = fx.guard_min_e(jnp.zeros(flat_shape, jnp.int32), x)
     coeff, ok_c = fx.round_away_i64(x)
-    return coeff[..., inv], jnp.all(ok_c, axis=-1)
+    floor = jnp.int32(fx.safe_e_floor())
+    ok = (jnp.all(ok_c, axis=-1) & (acc.min(axis=-1) >= floor)
+          & (accx.min(axis=-1) >= floor))
+    return coeff[..., inv], ok
 
 
 def encode_any(values, parms: Parms, mode: str = "dd"):

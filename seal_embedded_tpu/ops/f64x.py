@@ -34,6 +34,7 @@ import numpy as np
 
 U32 = jnp.uint32
 U64 = jnp.uint64
+I32 = jnp.int32
 I64 = jnp.int64
 
 E_MIN = -1022      # minimum normal exponent
@@ -41,8 +42,11 @@ E_ZERO = -0x4000_0000  # exponent tag for zero (far below any real one)
 
 
 class F64X(NamedTuple):
-    """Unpacked binary64 planes: sign u32 (0/1), exponent i64, mantissa
-    u64 (0, or in [2^52, 2^53))."""
+    """Unpacked binary64 planes: sign u32 (0/1), exponent i32, mantissa
+    u64 (0, or in [2^52, 2^53)).  Exponents of representable finite f64
+    fit comfortably in i32 (range ~[-1128, 1024] plus the E_ZERO tag);
+    keeping the plane 32-bit halves the emulated-64-bit lane work for
+    every exponent compare/add/select on TPU."""
     s: jnp.ndarray
     e: jnp.ndarray
     m: jnp.ndarray
@@ -52,8 +56,8 @@ def _u64(x):
     return x.astype(U64)
 
 
-def _i64(x):
-    return x.astype(I64)
+def _i32(x):
+    return x.astype(I32)
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +86,7 @@ def from_np_f64(x: np.ndarray) -> F64X:
     out_e[m == 0] = E_ZERO
     # Host numpy planes (not jnp): results may be cached across jit traces,
     # and device constants created inside a trace must not escape it.
-    return F64X(s, out_e.astype(np.int64), out_m)
+    return F64X(s, out_e.astype(np.int32), out_m)
 
 
 def to_np_f64(v: F64X) -> np.ndarray:
@@ -109,24 +113,24 @@ def from_f32(x) -> F64X:
     """Exact f32 -> f64x (every float32 is exactly representable)."""
     b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), U32)
     s = (b >> 31).astype(U32)
-    e8 = _i64((b >> 23) & jnp.uint32(0xFF))
+    e8 = _i32((b >> 23) & jnp.uint32(0xFF))
     m23 = _u64(b & jnp.uint32(0x7FFFFF))
     normal = e8 > 0
     m = jnp.where(normal, (m23 | _u64(jnp.uint64(1 << 23))) << 29, m23)
     # Subnormal f32: value = m23 * 2^-149 = m23 * 2^(e - 52) with e = -97.
-    e = jnp.where(normal, e8 - 127, _i64(jnp.int64(-97)))
+    e = jnp.where(normal, e8 - 127, jnp.int32(-97))
     # Normalize f32 subnormals / zeros.
     nz = m != 0
-    sh = jnp.where(nz, 52 - (63 - _i64(jax.lax.clz(m.astype(I64)))), 0)
+    sh = jnp.where(nz, 52 - (63 - _i32(jax.lax.clz(m.astype(I64)))), 0)
     sh = jnp.where(normal | ~nz, 0, sh)
     m = jnp.where(normal | ~nz, m, m << _u64(sh))
-    e = jnp.where(nz, e - sh, jnp.int64(E_ZERO))
+    e = jnp.where(nz, e - sh, jnp.int32(E_ZERO))
     return F64X(s, e, m)
 
 
 def zeros(shape) -> F64X:
     return F64X(jnp.zeros(shape, U32),
-                jnp.full(shape, E_ZERO, I64),
+                jnp.full(shape, E_ZERO, I32),
                 jnp.zeros(shape, U64))
 
 
@@ -155,7 +159,7 @@ def _round_pack(s, e, m31):
     re-quantizing into the subnormal grid when e < E_MIN.  Returns F64X."""
     # Subnormal range: need result ulp = 2^(E_MIN - 52); shift right so the
     # working mantissa's bit 3 is that ulp.
-    extra = jnp.maximum(_i64(E_MIN - e), 0)
+    extra = jnp.maximum(_i32(E_MIN - e), 0)
     m31 = _shift_right_jam(m31, extra)
     e = e + extra
 
@@ -171,15 +175,55 @@ def _round_pack(s, e, m31):
     # Subnormal results may be denormal (m < 2^52) at e == E_MIN after the
     # pre-shift; renormalize representation (value unchanged).
     nz = m != 0
-    sh = jnp.where(nz, 52 - (63 - _i64(jax.lax.clz(m.astype(I64)))), 0)
+    sh = jnp.where(nz, 52 - (63 - _i32(jax.lax.clz(m.astype(I64)))), 0)
     sh = jnp.maximum(sh, 0)
     m = m << _u64(sh)
-    e = jnp.where(nz, e - sh, jnp.int64(E_ZERO))
+    e = jnp.where(nz, e - sh, jnp.int32(E_ZERO))
     return F64X(s, e, m)
 
 
-def add(a: F64X, b: F64X) -> F64X:
-    """IEEE-754 binary64 addition, round-to-nearest-even."""
+def _round_pack_ns(s, e, m31):
+    """_round_pack for provably non-subnormal results: drops the
+    subnormal-grid requantize shift and the denormal renormalize (a
+    64-bit clz + shift per call).  Callers must guarantee e >= E_MIN for
+    every nonzero result — see no_subnormals() for the encode-pipeline
+    proof."""
+    lsb = (m31 >> 3) & jnp.uint64(1)
+    guard = (m31 >> 2) & jnp.uint64(1)
+    rs = m31 & jnp.uint64(3)
+    up = (guard == 1) & ((rs != 0) | (lsb == 1))
+    m = (m31 >> 3) + up.astype(U64)
+    ovf = m == jnp.uint64(1 << 53)
+    m = jnp.where(ovf, m >> 1, m)
+    e = jnp.where(ovf, e + 1, e)
+    return F64X(s, e, m)
+
+
+def safe_e_floor() -> int:
+    """Exponent floor validating the no-subnormal fast path (E_MIN + 2).
+
+    _round_pack_ns differs from _round_pack only in the subnormal
+    requantize (triggered when the pre-round exponent is < E_MIN) and the
+    denormal renormalize that requantizing can make necessary.  Rounding
+    moves the exponent by at most 1, so any op OUTPUT with m == 0 or
+    e >= E_MIN + 2 is guaranteed to have taken the requantize-free path —
+    i.e. its _ns result is bit-identical to full IEEE.  Checking every
+    op's output (inputs are exact-f32 promotions, normal twiddle
+    constants, or previous outputs, so induction closes) therefore
+    *proves* bit-exactness per batch element.  The encode pipeline folds
+    this check into its `ok` flag via a running masked-min of exponents
+    (see ops/encode.py); real inputs sit hundreds of octaves above the
+    floor, so a False here is as unreachable as the encode-overflow
+    flag — but the claim stays sound for adversarial inputs."""
+    return E_MIN + 2
+
+
+def add(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
+    """IEEE-754 binary64 addition, round-to-nearest-even.
+
+    subnormals=False uses the no-subnormal fast rounding (see
+    no_subnormals()); results are identical whenever no intermediate
+    dips below 2^-1022."""
     a_zero = a.m == 0
     b_zero = b.m == 0
 
@@ -191,7 +235,7 @@ def add(a: F64X, b: F64X) -> F64X:
                      jnp.where(a_big, a.m, b.m) ^ a.m ^ b.m)
     # (the ^ trick selects the other mantissa without a second where-pair)
 
-    d = _i64(eb_ - es_)
+    d = _i32(eb_ - es_)
     # 6 spare bits: guard/round/sticky plus headroom for the <=1-bit
     # renormalization shift after subtraction.
     MB = mb_ << _u64(jnp.uint64(6))
@@ -204,24 +248,25 @@ def add(a: F64X, b: F64X) -> F64X:
 
     # Same sign: if carry past bit 58 (m*2^6 in [2^58, 2^59)), shift-jam 1.
     carry = same & (S >= jnp.uint64(1 << 59))
-    S = jnp.where(carry, _shift_right_jam(S, jnp.int64(1)), S)
-    e = jnp.where(carry, eb_ + 1, _i64(eb_))
+    S = jnp.where(carry, _shift_right_jam(S, jnp.int32(1)), S)
+    e = jnp.where(carry, eb_ + 1, _i32(eb_))
 
     # Opposite sign: renormalize left.  d >= 2 needs at most 1 bit; d <= 1
     # is exact (sticky-free) so a full clz shift is safe.
     nz = S != 0
-    lead = 63 - _i64(jax.lax.clz(S.astype(I64)))   # top set bit
+    lead = 63 - _i32(jax.lax.clz(S.astype(I64)))   # top set bit
     sh = jnp.where(~same & nz, 58 - lead, 0)
     sh = jnp.maximum(sh, 0)
     S = S << _u64(sh)
     e = e - sh
 
-    out = _round_pack(sb_, e, _shift_right_jam(S, jnp.int64(3)))
+    rp = _round_pack if subnormals else _round_pack_ns
+    out = rp(sb_, e, _shift_right_jam(S, jnp.int32(3)))
 
     # Exact cancellation -> +0 (RNE); zero operands pass the other through.
     cancel = ~same & ~nz
     s = jnp.where(cancel, 0, out.s)
-    e = jnp.where(cancel, jnp.int64(E_ZERO), out.e)
+    e = jnp.where(cancel, jnp.int32(E_ZERO), out.e)
     m = jnp.where(cancel, jnp.uint64(0), out.m)
     # a + (-a) handled above; now a==0 and/or b==0:
     #   both zero: -0 + -0 = -0, else +0.
@@ -233,16 +278,26 @@ def add(a: F64X, b: F64X) -> F64X:
     return F64X(s.astype(U32), e, m)
 
 
+def guard_min_e(acc, *vals: F64X):
+    """Fold op outputs into a running exponent min (zeros masked to 0),
+    for the safe_e_floor() no-subnormal validity check."""
+    for v in vals:
+        acc = jnp.minimum(acc, jnp.where(v.m == 0, jnp.int32(0), v.e))
+    return acc
+
+
 def neg(a: F64X) -> F64X:
     return F64X(a.s ^ jnp.uint32(1), a.e, a.m)
 
 
-def sub(a: F64X, b: F64X) -> F64X:
-    return add(a, neg(b))
+def sub(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
+    return add(a, neg(b), subnormals)
 
 
-def mul(a: F64X, b: F64X) -> F64X:
-    """IEEE-754 binary64 multiplication, round-to-nearest-even."""
+def mul(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
+    """IEEE-754 binary64 multiplication, round-to-nearest-even.
+
+    subnormals=False: see add()."""
     s = a.s ^ b.s
     zero = (a.m == 0) | (b.m == 0)
 
@@ -265,9 +320,10 @@ def mul(a: F64X, b: F64X) -> F64X:
     m31 = m31 | jam.astype(U64)
     e = a.e + b.e + jnp.where(top, 1, 0)
 
-    out = _round_pack(s, _i64(e), m31)
+    rp = _round_pack if subnormals else _round_pack_ns
+    out = rp(s, _i32(e), m31)
     return F64X(out.s.astype(U32),
-                jnp.where(zero, jnp.int64(E_ZERO), out.e),
+                jnp.where(zero, jnp.int32(E_ZERO), out.e),
                 jnp.where(zero, jnp.uint64(0), out.m))
 
 
