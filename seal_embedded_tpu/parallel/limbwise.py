@@ -32,6 +32,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Parms
 from ..ckks.limbwise import PARALLEL_COUNTER_STRIDE
+
+
+def _flat_axes(*axes):
+    """Flatten possibly-composite mesh-axis names into one P-entry tuple
+    (('host', 'data'), 'limb') -> ('host', 'data', 'limb')."""
+    out = []
+    for a in axes:
+        out.extend(a) if isinstance(a, tuple) else out.append(a)
+    return tuple(out)
 from ..ops import modarith as ma
 from ..ops import sampling as sp
 from ..ops.ntt import ntt_tables_stacked, ntt_with_tables
@@ -94,7 +103,7 @@ def make_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
         return {"c0": c0, "c1": c1, "pte": pte, "pt": pt,
                 "ok": ok_e & ok_u.all(axis=0)}
 
-    both = P((data_axis, limb_axis), None)
+    both = P(_flat_axes(data_axis, limb_axis), None)
     in_sh = (NamedSharding(mesh, both), NamedSharding(mesh, P(None)),
              NamedSharding(mesh, both), NamedSharding(mesh, both))
     return jax.jit(run, in_shardings=in_sh)
@@ -152,7 +161,7 @@ def make_asym_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
         c0, c1 = limb_pipe(u_signed, e1, pte, pk0, pk1, mods, op, quot)
         return {"c0": c0, "c1": c1, "pt": pt, "pte": pte, "ok": ok & ok_t}
 
-    both = P((data_axis, limb_axis), None)
+    both = P(_flat_axes(data_axis, limb_axis), None)
     in_sh = (NamedSharding(mesh, both),
              NamedSharding(mesh, P(limb_axis, None)),
              NamedSharding(mesh, P(limb_axis, None)),

@@ -115,3 +115,33 @@ def test_limb_sharded_asym_bit_exact():
     assert bool(np.asarray(sharded["ok"]).all())
     for k in ("c0", "c1", "pte"):
         assert np.array_equal(np.asarray(sharded[k]), np.asarray(plain[k])), k
+
+
+def test_multihost_mesh_bit_exact():
+    """(host=2, data=2, limb=2) virtual mesh: the multi-host encryptor
+    (batch over host x data via DCN-analog axis, limbs over ICI-analog
+    axis) is bit-identical to the single-device 'parallel' layout."""
+    from seal_embedded_tpu.ckks.limbwise import make_limbscan_encryptor
+    from seal_embedded_tpu.parallel import multihost as mh
+
+    parms = Parms(degree=512, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20)
+    mesh = mh.make_host_mesh(n_limb=2, n_hosts=2)
+    assert mesh.shape == {"host": 2, "data": 2, "limb": 2}
+    values, sk, share, err = _rand_inputs(parms, B=8, seed=11)
+
+    args = mh.shard_inputs(mesh, values, sk, share, err)
+    out = mh.make_multihost_encryptor(mesh, parms)(*args)
+    got = mh.collect_to_host(out)
+    plain = make_limbscan_encryptor(parms, "parallel")(
+        values, sk, share, err)
+    assert bool(got["ok"].all())
+    for k in ("c0", "c1", "pte"):
+        assert np.array_equal(got[k], np.asarray(plain[k])), k
+    # Batch really spans the host axis: 8 devices hold distinct shards.
+    assert len(out["c0"].sharding.device_set) == 8
+
+
+def test_multihost_init_noop_single_process():
+    from seal_embedded_tpu.parallel import multihost as mh
+    assert mh.init_distributed() is False
+    assert mh.init_distributed(num_processes=1) is False
