@@ -58,6 +58,29 @@ def ifft_root_tables(n: int) -> tuple[tuple[np.ndarray, np.ndarray], ...]:
     return tuple(out)
 
 
+def ifft_root_tables_from_file(path: str, n: int):
+    """Per-round IFFT root tables from an adapter-format roots file — the
+    SE_IFFT_LOAD_FULL data path (user_defines.h:60-66, fileops.c:226-255).
+
+    The file stores roots[i] = conj(W^(bitrev(i-1, logn) + 1)) as raw f64
+    bit patterns (adapter generate.cpp:119-198); the device consumes them
+    sequentially from index 1 in (round, group) order (fft.c:108-126
+    ``roots[root_idx++]``), which is exactly the per-round layout
+    ifft_root_tables() computes — so a loaded file reorders into the same
+    structure, bit-for-bit (asserted in tests/test_stream_io.py).
+    """
+    from ..io.serialize import read_ifft_roots
+    raw = read_ifft_roots(path, n)
+    re_all, im_all = raw[0::2], raw[1::2]
+    logn = n.bit_length() - 1
+    out = []
+    idx, h = 1, n // 2
+    for _ in range(logn):
+        out.append((re_all[idx:idx + h].copy(), im_all[idx:idx + h].copy()))
+        idx, h = idx + h, h // 2
+    return tuple(out)
+
+
 @lru_cache(maxsize=32)
 def fft_root_tables(n: int) -> tuple[tuple[np.ndarray, np.ndarray], ...]:
     """Per-round forward (decode) roots (fft.c:183-213)."""
@@ -78,11 +101,13 @@ def fft_root_tables(n: int) -> tuple[tuple[np.ndarray, np.ndarray], ...]:
     return tuple(out)
 
 
-def encode(values, parms: Parms):
+def encode(values, parms: Parms, root_tables=None):
     """values f32 (..., <= n/2) -> conj_vals_int int64 (..., n).
 
     Bit-exact to ckks_encode_base on IEEE-f64 backends (CPU); decode-exact
-    on TPU.
+    on TPU.  root_tables: optional per-round IFFT tables (e.g. from
+    ifft_root_tables_from_file — the SE_IFFT_LOAD_FULL path); defaults to
+    the computed tables.
     """
     n, logn = parms.degree, parms.logn
     batch_shape = values.shape[:-1]
@@ -97,7 +122,8 @@ def encode(values, parms: Parms):
 
     # IFFT rounds (fft.c:117-144): u' = u + w, w' = (u - w) * s.
     tt, h = 1, n // 2
-    for (sre_np, sim_np) in ifft_root_tables(n):
+    for (sre_np, sim_np) in (root_tables if root_tables is not None
+                             else ifft_root_tables(n)):
         bshape = (1,) * len(batch_shape)
         sre = jnp.asarray(sre_np).reshape(bshape + (h, 1))
         sim = jnp.asarray(sim_np).reshape(bshape + (h, 1))
@@ -281,17 +307,17 @@ def encode_sf(values, parms: Parms):
         sre, sim = s
         ure, wre = split(re)
         uim, wim = split(im)
-        # u' = u + w;  w' = (u - w) * s  (fft.c:117-144, complex).
-        dre = fx.sub(ure, wre, False)
-        dim_ = fx.sub(uim, wim, False)
-        p1 = fx.mul(dre, sre, False)
-        p2 = fx.mul(dim_, sim, False)
-        p3 = fx.mul(dre, sim, False)
-        p4 = fx.mul(dim_, sre, False)
+        # u' = u + w;  w' = (u - w) * s  (fft.c:117-144, complex); the
+        # sum and difference share one alignment (fx.add_sub), and the
+        # twiddle operand is never zero (b_nonzero).
+        are, dre = fx.add_sub(ure, wre, False)
+        aim, dim_ = fx.add_sub(uim, wim, False)
+        p1 = fx.mul(dre, sre, False, b_nonzero=True)
+        p2 = fx.mul(dim_, sim, False, b_nonzero=True)
+        p3 = fx.mul(dre, sim, False, b_nonzero=True)
+        p4 = fx.mul(dim_, sre, False, b_nonzero=True)
         bre = fx.sub(p1, p2, False)
         bim = fx.add(p3, p4, False)
-        are = fx.add(ure, wre, False)
-        aim = fx.add(uim, wim, False)
         acc = fx.guard_min_e(acc, dre, dim_, p1, p2, p3, p4,
                              bre, bim, are, aim)
         re = fx.F64X(*(jnp.concatenate(p, axis=-1)
@@ -304,7 +330,7 @@ def encode_sf(values, parms: Parms):
 
     n_inv = fx.from_np_f64(np.float64(parms.scale) / np.float64(parms.degree))
     x = fx.mul(re, fx.F64X(*(jnp.asarray(p).reshape((1,) * len(flat_shape))
-                             for p in n_inv)), False)
+                             for p in n_inv)), False, b_nonzero=True)
     accx = fx.guard_min_e(jnp.zeros(flat_shape, jnp.int32), x)
     coeff, ok_c = fx.round_away_i64(x)
     floor = jnp.int32(fx.safe_e_floor())

@@ -218,33 +218,26 @@ def safe_e_floor() -> int:
     return E_MIN + 2
 
 
-def add(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
-    """IEEE-754 binary64 addition, round-to-nearest-even.
-
-    subnormals=False uses the no-subnormal fast rounding (see
-    no_subnormals()); results are identical whenever no intermediate
-    dips below 2^-1022."""
-    a_zero = a.m == 0
-    b_zero = b.m == 0
-
-    # Order by magnitude: (e, m) lexicographic; ties -> a first (symmetric).
+def _align(a: F64X, b: F64X):
+    """Magnitude-order and exponent-align two operands (shared by add and
+    add_sub).  Returns (a_big, eb_, MB, MS): big/small working mantissas
+    with 6 spare low bits (guard/round/sticky + 1-bit renorm headroom),
+    the small one shift-right-jammed into the big one's scale."""
     a_big = (a.e > b.e) | ((a.e == b.e) & (a.m >= b.m))
-    sb_, eb_, mb_ = (jnp.where(a_big, a.s, b.s), jnp.where(a_big, a.e, b.e),
-                     jnp.where(a_big, a.m, b.m))
-    ss_, es_, ms_ = (jnp.where(a_big, b.s, a.s), jnp.where(a_big, b.e, a.e),
-                     jnp.where(a_big, a.m, b.m) ^ a.m ^ b.m)
-    # (the ^ trick selects the other mantissa without a second where-pair)
-
+    eb_ = jnp.where(a_big, a.e, b.e)
+    mb_ = jnp.where(a_big, a.m, b.m)
+    es_ = jnp.where(a_big, b.e, a.e)
+    ms_ = mb_ ^ a.m ^ b.m  # the other mantissa without a second where
     d = _i32(eb_ - es_)
-    # 6 spare bits: guard/round/sticky plus headroom for the <=1-bit
-    # renormalization shift after subtraction.
     MB = mb_ << _u64(jnp.uint64(6))
     MS = _shift_right_jam(ms_ << _u64(jnp.uint64(6)), d)
+    return a_big, eb_, MB, MS
 
-    same = ss_ == sb_
-    S_add = MB + MS                      # < 2^60
-    S_sub = MB - MS                      # >= 0
-    S = jnp.where(same, S_add, S_sub)
+
+def _add_finish(same, sb_, eb_, MB, MS, subnormals: bool,
+                a=None, b=None, flip_b: bool = False) -> F64X:
+    """Combine aligned mantissas for one sign pattern and round."""
+    S = jnp.where(same, MB + MS, MB - MS)   # < 2^60 ; >= 0
 
     # Same sign: if carry past bit 58 (m*2^6 in [2^58, 2^59)), shift-jam 1.
     carry = same & (S >= jnp.uint64(1 << 59))
@@ -263,19 +256,56 @@ def add(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
     rp = _round_pack if subnormals else _round_pack_ns
     out = rp(sb_, e, _shift_right_jam(S, jnp.int32(3)))
 
-    # Exact cancellation -> +0 (RNE); zero operands pass the other through.
+    # Exact cancellation of opposite signs -> +0 (RNE).  (Both-zero with
+    # equal signs keeps sb_ via the same-sign path: -0 + -0 = -0.)
     cancel = ~same & ~nz
     s = jnp.where(cancel, 0, out.s)
     e = jnp.where(cancel, jnp.int32(E_ZERO), out.e)
     m = jnp.where(cancel, jnp.uint64(0), out.m)
-    # a + (-a) handled above; now a==0 and/or b==0:
-    #   both zero: -0 + -0 = -0, else +0.
-    both0 = a_zero & b_zero
-    s = jnp.where(both0, a.s & b.s, jnp.where(a_zero, b.s,
-                  jnp.where(b_zero, a.s, s)))
-    e = jnp.where(a_zero & ~both0, b.e, jnp.where(b_zero & ~both0, a.e, e))
-    m = jnp.where(a_zero & ~both0, b.m, jnp.where(b_zero & ~both0, a.m, m))
+    if a is not None:
+        bs = (b.s ^ jnp.uint32(1)) if flip_b else b.s
+        a_zero = a.m == 0
+        b_zero = b.m == 0
+        both0 = a_zero & b_zero
+        s = jnp.where(both0, a.s & bs, jnp.where(a_zero, bs,
+                      jnp.where(b_zero, a.s, s)))
+        e = jnp.where(a_zero & ~both0, b.e,
+                      jnp.where(b_zero & ~both0, a.e, e))
+        m = jnp.where(a_zero & ~both0, b.m,
+                      jnp.where(b_zero & ~both0, a.m, m))
     return F64X(s.astype(U32), e, m)
+
+
+def add(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
+    """IEEE-754 binary64 addition, round-to-nearest-even.
+
+    subnormals=False uses the no-subnormal fast rounding (see
+    safe_e_floor()); results are identical whenever no intermediate
+    dips below 2^-1022.
+
+    Zero operands flow through the general path exactly (a zero is the
+    lexicographic minimum, so it always aligns as the small operand with
+    MS = 0 and the big operand re-rounds to itself; both-zero cases land
+    on eb_ = E_ZERO with the IEEE sign rules falling out of the same/
+    cancel logic) — verified exhaustively over sign/zero combinations in
+    tests/test_f64x.py, so no special-case selects are spent on them."""
+    a_big, eb_, MB, MS = _align(a, b)
+    sb_ = jnp.where(a_big, a.s, b.s)
+    same = a.s == b.s  # == (sign of small == sign of big), any ordering
+    return _add_finish(same, sb_, eb_, MB, MS, subnormals, a, b)
+
+
+def add_sub(a: F64X, b: F64X, subnormals: bool = True):
+    """(a + b, a - b) with one shared alignment — bit-identical to
+    (add(a, b), add(a, neg(b))) but ~25% cheaper, for butterflies that
+    need both combinations of the same operands."""
+    a_big, eb_, MB, MS = _align(a, b)
+    sb1 = jnp.where(a_big, a.s, b.s)
+    sb2 = jnp.where(a_big, a.s, b.s ^ jnp.uint32(1))
+    same = a.s == b.s
+    return (_add_finish(same, sb1, eb_, MB, MS, subnormals, a, b),
+            _add_finish(~same, sb2, eb_, MB, MS, subnormals, a, b,
+                        flip_b=True))
 
 
 def guard_min_e(acc, *vals: F64X):
@@ -294,12 +324,14 @@ def sub(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
     return add(a, neg(b), subnormals)
 
 
-def mul(a: F64X, b: F64X, subnormals: bool = True) -> F64X:
+def mul(a: F64X, b: F64X, subnormals: bool = True,
+        b_nonzero: bool = False) -> F64X:
     """IEEE-754 binary64 multiplication, round-to-nearest-even.
 
-    subnormals=False: see add()."""
+    subnormals=False: see add().  b_nonzero=True skips the zero check on
+    b (for constant twiddle operands, which are never zero)."""
     s = a.s ^ b.s
-    zero = (a.m == 0) | (b.m == 0)
+    zero = (a.m == 0) if b_nonzero else ((a.m == 0) | (b.m == 0))
 
     # 106-bit product of 53-bit mantissas via 32-bit halves (every partial
     # product is exact in u64: 21+32 and 32+32 bit operands).

@@ -57,33 +57,53 @@ def _rol_pair(lo, hi, r: int):
     return nlo.astype(U32), nhi.astype(U32)
 
 
+# pi scatter: lane i = x + 5y of the theta'd state lands at position
+# y + 5*((2x + 3y) % 5); PI_INV is the gather form used by the fused loop.
+PI_INV = [0] * 25
+for _x in range(5):
+    for _y in range(5):
+        PI_INV[_y + 5 * ((2 * _x + 3 * _y) % 5)] = _x + 5 * _y
+del _x, _y
+
+
 def _permute(lo, hi):
-    """24 Keccak-f[1600] rounds on lists of 25 (8, 128) u32 vregs."""
+    """24 Keccak-f[1600] rounds on lists of 25 (8, 128) u32 vregs.
+
+    Scheduling note: pi and chi are fused per OUTPUT ROW — each theta'd
+    lane is rotated exactly where its (single) chi consumer needs it, so
+    old-generation lanes can die five at a time instead of all 50 staying
+    live behind a full b[25] intermediate.  Measured on v5e this is
+    throughput-neutral (~27-28 Mperm/s either way at T=1024): the kernel
+    is VPU issue-bound (~10.3k vector ops per permutation tile), not
+    spill-bound, so the remaining headroom is op-count reduction (e.g.
+    bit-interleaved rotations), which trades against per-block extraction
+    cost.  Same XOR/ROL dataflow as the plain form, bit-identical."""
     for rc in _RC:
         clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20]
                for x in range(5)]
         chi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20]
                for x in range(5)]
+        dlo = [None] * 5
+        dhi = [None] * 5
         for x in range(5):
             rl, rh = _rol_pair(clo[(x + 1) % 5], chi[(x + 1) % 5], 1)
-            dlo = clo[(x - 1) % 5] ^ rl
-            dhi = chi[(x - 1) % 5] ^ rh
-            for y in range(5):
-                lo[x + 5 * y] = lo[x + 5 * y] ^ dlo
-                hi[x + 5 * y] = hi[x + 5 * y] ^ dhi
-        blo = [None] * 25
-        bhi = [None] * 25
-        for x in range(5):
-            for y in range(5):
-                i = x + 5 * y
-                j = y + 5 * ((2 * x + 3 * y) % 5)
-                blo[j], bhi[j] = _rol_pair(lo[i], hi[i], _RHO[i])
+            dlo[x] = clo[(x - 1) % 5] ^ rl
+            dhi[x] = chi[(x - 1) % 5] ^ rh
+        nlo = [None] * 25
+        nhi = [None] * 25
         for y in range(5):
-            rl = [blo[x + 5 * y] for x in range(5)]
-            rh = [bhi[x + 5 * y] for x in range(5)]
+            bl = [None] * 5
+            bh = [None] * 5
             for x in range(5):
-                lo[x + 5 * y] = rl[x] ^ (~rl[(x + 1) % 5] & rl[(x + 2) % 5])
-                hi[x + 5 * y] = rh[x] ^ (~rh[(x + 1) % 5] & rh[(x + 2) % 5])
+                i = PI_INV[x + 5 * y]
+                xi = i % 5
+                tl = lo[i] ^ dlo[xi]
+                th = hi[i] ^ dhi[xi]
+                bl[x], bh[x] = _rol_pair(tl, th, _RHO[i])
+            for x in range(5):
+                nlo[x + 5 * y] = bl[x] ^ (~bl[(x + 1) % 5] & bl[(x + 2) % 5])
+                nhi[x + 5 * y] = bh[x] ^ (~bh[(x + 1) % 5] & bh[(x + 2) % 5])
+        lo, hi = nlo, nhi
         lo[0] = lo[0] ^ jnp.asarray(np.uint32(rc & 0xFFFFFFFF), U32)
         hi[0] = hi[0] ^ jnp.asarray(np.uint32(rc >> 32), U32)
     return lo, hi
