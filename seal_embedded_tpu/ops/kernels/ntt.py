@@ -179,8 +179,8 @@ def _pallas_ntt_call(x, op, quot, qs, n: int, logn: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((L, 1), lambda l, b: (_0, _0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b)),
         ],
         out_specs=pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b)),

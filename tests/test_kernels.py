@@ -166,3 +166,24 @@ def test_fused_pipeline_ntt_kernel_forced_golden(golden_sym, monkeypatch):
         for i in range(P.nprimes):
             assert np.array_equal(c0[i, b], t["c0"][i]), f"c0 t{b} p{i}"
             assert np.array_equal(c1[i, b], t["c1"][i]), f"c1 t{b} p{i}"
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_encode_kernel_bit_exact_vs_sf(n):
+    """Pallas blocked encode (interpret mode off-TPU) == encode_sf, bit
+    for bit, including the ok/guard flag."""
+    from functools import partial
+    from seal_embedded_tpu.config import Parms, PRIMES_27BIT, default_parms
+    from seal_embedded_tpu.ops.encode import encode_sf
+    from seal_embedded_tpu.ops.kernels.encode import encode_sf_blocked
+
+    parms = (default_parms(n, 3) if n >= 4096
+             else Parms(degree=n, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20))
+    rng = np.random.default_rng(n)
+    values = rng.uniform(-1, 1, (4, n // 2)).astype(np.float32)
+    values[0, :4] = [0.0, -0.0, 1e-44, -1e-38]   # zero / f32-subnormal rows
+    v = jnp.asarray(values)
+    want, ok_w = jax.jit(partial(encode_sf, parms=parms))(v)
+    got, ok_g = jax.jit(partial(encode_sf_blocked, parms=parms))(v)
+    assert bool(np.asarray(ok_w).all()) and bool(np.asarray(ok_g).all())
+    assert np.array_equal(np.asarray(got), np.asarray(want))
