@@ -349,6 +349,9 @@ def encode_any(values, parms: Parms, mode: str = "dd"):
         return encode_dd(values, parms)
     if mode == "sf":
         return encode_sf(values, parms)
+    if mode == "sfk":   # Pallas blocked kernel (bit-exact; see its module
+        from .kernels.encode import encode_sf_blocked  # docstring re perf)
+        return encode_sf_blocked(values, parms)
     raise ValueError(f"unknown encode mode {mode!r}")
 
 

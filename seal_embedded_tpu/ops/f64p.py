@@ -56,10 +56,10 @@ def _i32(x):
 def _shl64(hi, lo, d):
     """(hi,lo) << d for d u32/i32 in [0, 63]; overflow bits lost."""
     d = _u32(d)
-    big = d >= 32
-    ds = jnp.where(big, d - 32, d)
+    big = d >= jnp.uint32(32)
+    ds = jnp.where(big, d - jnp.uint32(32), d)
     lo_part = jnp.where(ds == 0, _u32(jnp.zeros_like(lo)),
-                        lo >> ((32 - ds) & 31))
+                        lo >> ((jnp.uint32(32) - ds) & jnp.uint32(31)))
     nhi = jnp.where(big, _u32(lo << ds), _u32(hi << ds) | lo_part)
     nlo = jnp.where(big, _u32(jnp.zeros_like(lo)), _u32(lo << ds))
     return _u32(nhi), _u32(nlo)
@@ -68,10 +68,10 @@ def _shl64(hi, lo, d):
 def _shr64(hi, lo, d):
     """(hi,lo) >> d for d in [0, 63]."""
     d = _u32(d)
-    big = d >= 32
-    ds = jnp.where(big, d - 32, d)
+    big = d >= jnp.uint32(32)
+    ds = jnp.where(big, d - jnp.uint32(32), d)
     hi_part = jnp.where(ds == 0, _u32(jnp.zeros_like(hi)),
-                        hi << ((32 - ds) & 31))
+                        hi << ((jnp.uint32(32) - ds) & jnp.uint32(31)))
     nlo = jnp.where(big, hi >> ds, (lo >> ds) | hi_part)
     nhi = jnp.where(big, _u32(jnp.zeros_like(hi)), hi >> ds)
     return _u32(nhi), _u32(nlo)
@@ -81,14 +81,16 @@ def _shr64_jam(hi, lo, d):
     """(hi,lo) >> min(d,63) with shifted-out bits OR-jammed into the LSB
     (f64x._shift_right_jam; values < 2^60 so saturation at 63 is total).
     d >= 0 (i32 or u32)."""
-    d = jnp.minimum(_i32(d), 63)
+    d = jnp.minimum(_i32(d), jnp.int32(63))
     nhi, nlo = _shr64(hi, lo, d)
-    big = _u32(d) >= 32
-    ds = jnp.where(big, _u32(d) - 32, _u32(d))
-    mask = _u32((jnp.uint32(1) << ds) - 1)
-    lost = jnp.where(big, (lo != 0) | ((hi & mask) != 0),
-                     (lo & mask) != 0)
-    return nhi, nlo | _u32(lost)
+    big = _u32(d) >= jnp.uint32(32)
+    ds = jnp.where(big, _u32(d) - jnp.uint32(32), _u32(d))
+    mask = _u32((jnp.uint32(1) << ds) - jnp.uint32(1))
+    # select on u32, not bool: Mosaic has no i1-vector select
+    lost = jnp.where(big,
+                     _u32((lo != jnp.uint32(0)) | ((hi & mask) != jnp.uint32(0))),
+                     _u32((lo & mask) != jnp.uint32(0)))
+    return nhi, nlo | lost
 
 
 def _add64(ahi, alo, bhi, blo):
@@ -109,11 +111,11 @@ def _ge64(ahi, alo, bhi, blo):
 
 def _clz64(hi, lo):
     """Leading zeros of the 64-bit pair (0 input -> 64)."""
-    czh = jax.lax.clz(_i32(hi)) & 63
-    czl = jax.lax.clz(_i32(lo)) & 63
-    czh = jnp.where(hi == 0, 32, czh)
-    czl = jnp.where(lo == 0, 32, czl)
-    return jnp.where(hi != 0, czh, 32 + czl)
+    czh = jax.lax.clz(_i32(hi)) & jnp.int32(63)
+    czl = jax.lax.clz(_i32(lo)) & jnp.int32(63)
+    czh = jnp.where(hi == jnp.uint32(0), jnp.int32(32), czh)
+    czl = jnp.where(lo == jnp.uint32(0), jnp.int32(32), czl)
+    return jnp.where(hi != jnp.uint32(0), czh, jnp.int32(32) + czl)
 
 
 # ----------------------------------------------------------------- rounding
@@ -123,16 +125,16 @@ def _round_pack_ns(s, e, m31hi, m31lo):
     """f64x._round_pack_ns on pairs: round a 56-bit working mantissa
     (top bit 55; value m31 * 2^(e-55)) to nearest-even.  No subnormal
     requantize — caller guards via f64x.safe_e_floor()."""
-    lsb = (m31lo >> 3) & 1
-    guard = (m31lo >> 2) & 1
-    rs = m31lo & 3
-    up = ((guard == 1) & ((rs != 0) | (lsb == 1))).astype(U32)
-    mhi = m31hi >> 3
-    mlo = _u32((m31lo >> 3) | (m31hi << 29))
+    lsb = (m31lo >> jnp.uint32(3)) & jnp.uint32(1)
+    guard = (m31lo >> jnp.uint32(2)) & jnp.uint32(1)
+    rs = m31lo & jnp.uint32(3)
+    up = ((guard == jnp.uint32(1)) & ((rs != jnp.uint32(0)) | (lsb == jnp.uint32(1)))).astype(U32)
+    mhi = m31hi >> jnp.uint32(3)
+    mlo = _u32((m31lo >> jnp.uint32(3)) | (m31hi << jnp.uint32(29)))
     mhi, mlo = _add64(mhi, mlo, jnp.zeros_like(mhi), up)
-    ovf = (mhi == (1 << 21)) & (mlo == 0)
+    ovf = (mhi == jnp.uint32(1 << 21)) & (mlo == jnp.uint32(0))
     mhi = jnp.where(ovf, jnp.uint32(1 << 20), mhi)
-    e = jnp.where(ovf, e + 1, e)
+    e = jnp.where(ovf, e + jnp.int32(1), e)
     return F64P(_u32(s), _i32(e), _u32(mhi), mlo)
 
 
@@ -150,10 +152,10 @@ def _align(a: F64P, b: F64P):
     mshi = mbhi ^ a.mhi ^ b.mhi
     mslo = mblo ^ a.mlo ^ b.mlo
     d = _i32(eb - es)
-    MBhi = _u32((mbhi << 6) | (mblo >> 26))
-    MBlo = _u32(mblo << 6)
-    thi = _u32((mshi << 6) | (mslo >> 26))
-    tlo = _u32(mslo << 6)
+    MBhi = _u32((mbhi << jnp.uint32(6)) | (mblo >> jnp.uint32(26)))
+    MBlo = _u32(mblo << jnp.uint32(6))
+    thi = _u32((mshi << jnp.uint32(6)) | (mslo >> jnp.uint32(26)))
+    tlo = _u32(mslo << jnp.uint32(6))
     MShi, MSlo = _shr64_jam(thi, tlo, d)
     return a_big, eb, MBhi, MBlo, MShi, MSlo
 
@@ -165,24 +167,24 @@ def _add_finish(same, sb, eb, MBhi, MBlo, MShi, MSlo) -> F64P:
     Slo = jnp.where(same, Salo, Sslo)
 
     # Same sign: carry past bit 58 -> shift-jam 1.
-    carry = same & (Shi >= (1 << 27))
-    Shi_c = Shi >> 1
-    Slo_c = _u32((Slo >> 1) | (Shi << 31) | (Slo & 1))
+    carry = same & (Shi >= jnp.uint32(1 << 27))
+    Shi_c = Shi >> jnp.uint32(1)
+    Slo_c = _u32((Slo >> jnp.uint32(1)) | (Shi << jnp.uint32(31)) | (Slo & jnp.uint32(1)))
     Shi = jnp.where(carry, Shi_c, Shi)
     Slo = jnp.where(carry, Slo_c, Slo)
-    e = jnp.where(carry, eb + 1, _i32(eb))
+    e = jnp.where(carry, eb + jnp.int32(1), _i32(eb))
 
     # Opposite sign: renormalize left to bit 58.
-    nz = (Shi | Slo) != 0
-    lead = 63 - _clz64(Shi, Slo)
-    sh = jnp.where((~same) & nz, 58 - lead, 0)
-    sh = jnp.maximum(sh, 0)
+    nz = (Shi | Slo) != jnp.uint32(0)
+    lead = jnp.int32(63) - _clz64(Shi, Slo)
+    sh = jnp.where((~same) & nz, jnp.int32(58) - lead, jnp.int32(0))
+    sh = jnp.maximum(sh, jnp.int32(0))
     Shi, Slo = _shl64(Shi, Slo, sh)
     e = e - sh
 
     # m31 = S >> 3 with jam.
-    m31hi = Shi >> 3
-    m31lo = _u32((Slo >> 3) | (Shi << 29) | _u32((Slo & 7) != 0))
+    m31hi = Shi >> jnp.uint32(3)
+    m31lo = _u32((Slo >> jnp.uint32(3)) | (Shi << jnp.uint32(29)) | _u32((Slo & jnp.uint32(7)) != jnp.uint32(0)))
     out = _round_pack_ns(sb, e, m31hi, m31lo)
 
     cancel = (~same) & (~nz)
@@ -202,14 +204,14 @@ def add(a: F64P, b: F64P) -> F64P:
 
 
 def sub(a: F64P, b: F64P) -> F64P:
-    return add(a, F64P(b.s ^ 1, b.e, b.mhi, b.mlo))
+    return add(a, F64P(b.s ^ jnp.uint32(1), b.e, b.mhi, b.mlo))
 
 
 def add_sub(a: F64P, b: F64P):
     """(a+b, a-b) with one shared alignment (f64x.add_sub on pairs)."""
     a_big, eb, MBhi, MBlo, MShi, MSlo = _align(a, b)
     sb1 = jnp.where(a_big, a.s, b.s)
-    sb2 = jnp.where(a_big, a.s, b.s ^ 1)
+    sb2 = jnp.where(a_big, a.s, b.s ^ jnp.uint32(1))
     same = a.s == b.s
     return (_add_finish(same, sb1, eb, MBhi, MBlo, MShi, MSlo),
             _add_finish(~same, sb2, eb, MBhi, MBlo, MShi, MSlo))
@@ -222,9 +224,9 @@ def mul(a: F64P, b: F64P, b_nonzero: bool = False) -> F64P:
     """a * b (RNE, no-subnormal rounding); b_nonzero skips b's zero check
     (twiddle operands)."""
     s = a.s ^ b.s
-    zero = ((a.mhi | a.mlo) == 0)
+    zero = ((a.mhi | a.mlo) == jnp.uint32(0))
     if not b_nonzero:
-        zero = zero | ((b.mhi | b.mlo) == 0)
+        zero = zero | ((b.mhi | b.mlo) == jnp.uint32(0))
 
     # 106-bit product of the 53-bit mantissas (f64x.mul on pairs).
     t0hi, t0lo = mulhi(a.mlo, b.mlo), mullo(a.mlo, b.mlo)
@@ -237,15 +239,15 @@ def mul(a: F64P, b: F64P, b_nonzero: bool = False) -> F64P:
     phihi, philo = _add64(t2hi, t2lo, zero32, midhi)     # p>>64, < 2^42
     # p_lo = (midlo, t0lo)
 
-    top = phihi >= (1 << 9)                              # p >= 2^105
+    top = phihi >= jnp.uint32(1 << 9)                              # p >= 2^105
     shift = jnp.where(top, jnp.uint32(50), jnp.uint32(49))
-    hhi, hlo = _shl64(phihi, philo, 64 - shift)          # 14 / 15
+    hhi, hlo = _shl64(phihi, philo, jnp.uint32(64) - shift)          # 14 / 15
     lhi, llo = _shr64(midlo, t0lo, shift)
     m31hi = hhi | lhi
     m31lo = hlo | llo
     # jam: low `shift` (>=32) bits of p_lo.
-    mask = _u32((jnp.uint32(1) << (shift - 32)) - 1)
-    jam = (t0lo != 0) | ((midlo & mask) != 0)
+    mask = _u32((jnp.uint32(1) << (shift - jnp.uint32(32))) - jnp.uint32(1))
+    jam = (t0lo != jnp.uint32(0)) | ((midlo & mask) != jnp.uint32(0))
     m31lo = m31lo | _u32(jam)
 
     e = a.e + b.e + _i32(top)
@@ -262,25 +264,25 @@ def mul(a: F64P, b: F64P, b_nonzero: bool = False) -> F64P:
 def from_f32(x) -> F64P:
     """Exact f32 -> f64p (f64x.from_f32 on pairs)."""
     b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), U32)
-    s = b >> 31
-    e8 = _i32((b >> 23) & 0xFF)
-    m23 = _u32(b & 0x7FFFFF)
-    normal = e8 > 0
+    s = b >> jnp.uint32(31)
+    e8 = _i32((b >> jnp.uint32(23)) & jnp.uint32(0xFF))
+    m23 = _u32(b & jnp.uint32(0x7FFFFF))
+    normal = e8 > jnp.int32(0)
     mfull = m23 | jnp.uint32(1 << 23)
     # normal: m64 = mfull << 29 -> (mfull >> 3, mfull << 29)
-    mhi_n = mfull >> 3
-    mlo_n = _u32(mfull << 29)
-    e_n = e8 - 127
+    mhi_n = mfull >> jnp.uint32(3)
+    mlo_n = _u32(mfull << jnp.uint32(29))
+    e_n = e8 - jnp.int32(127)
     # f32 subnormal: value = m23 * 2^-149; normalize to bit 52.
-    nzs = m23 != 0
-    lead = 31 - (jax.lax.clz(_i32(m23)) & 63)
-    sh = _i32(52 - lead)
-    shi, slo = _shl64(jnp.zeros_like(m23), m23, jnp.where(nzs, sh, 0))
-    e_s = jnp.int32(-97) - jnp.where(nzs, sh, 0)
+    nzs = m23 != jnp.uint32(0)
+    lead = jnp.int32(31) - (jax.lax.clz(_i32(m23)) & jnp.int32(63))
+    sh = jnp.int32(52) - lead
+    shi, slo = _shl64(jnp.zeros_like(m23), m23, jnp.where(nzs, sh, jnp.int32(0)))
+    e_s = jnp.int32(-97) - jnp.where(nzs, sh, jnp.int32(0))
 
     zero = ~normal & ~nzs
-    mhi = jnp.where(normal, mhi_n, jnp.where(nzs, shi, 0))
-    mlo = jnp.where(normal, mlo_n, jnp.where(nzs, slo, 0))
+    mhi = jnp.where(normal, mhi_n, jnp.where(nzs, shi, jnp.uint32(0)))
+    mlo = jnp.where(normal, mlo_n, jnp.where(nzs, slo, jnp.uint32(0)))
     e = jnp.where(normal, e_n, jnp.where(nzs, e_s, jnp.int32(E_ZERO)))
     return F64P(_u32(s), _i32(e), _u32(mhi), _u32(mlo))
 
@@ -288,7 +290,7 @@ def from_f32(x) -> F64P:
 def guard_min_e(acc, *vals: F64P):
     """f64x.guard_min_e on pairs (no-subnormal validity accumulator)."""
     for v in vals:
-        z = (v.mhi | v.mlo) == 0
+        z = (v.mhi | v.mlo) == jnp.uint32(0)
         acc = jnp.minimum(acc, jnp.where(z, jnp.int32(0), v.e))
     return acc
 

@@ -25,8 +25,17 @@ explicit:
   the ordinary f64x jnp tail on the kernel's output planes.
 
 Bit-exactness: asserted against encode_sf (itself golden-anchored to
-the C reference) in tests/test_kernels.py, interpret-mode on CPU and
-compiled on TPU via the bench verify path.
+the C reference) in tests/test_kernels.py, interpret-mode on CPU, and
+compiled + bit-verified on a real v5e chip.
+
+Performance status (measured v5e, B=1024, n=4096): this kernel runs the
+full encode in ~86 ms vs ~36 ms for the XLA encode_sf — Mosaic allocates
+one spill slot per value across the ~1000-op straight-line f64p round
+body (65 MB scoped VMEM at BLOCK=512; the fully unrolled variant wants
+140 MB), and the resulting spill traffic dominates.  The XLA path
+therefore stays the default; this kernel is the opt-in
+encode mode "sfk" (encode_any) and the starting point for future Mosaic
+scheduling work (segmenting the round body, register-tiling pairs).
 """
 
 from __future__ import annotations
@@ -37,10 +46,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ...config import Parms  # noqa: F401  (typing/doc only)
 
-BLOCK = 1024
+BLOCK = 128
 TLANE = 128
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -128,25 +138,45 @@ def _kernel(vals_ref, trs, tre, trh, trl, tis, tie, tih, til,
     im = fp.F64P(z32, jnp.full((blk, TLANE), fp.E_ZERO, I32), z32, z32)
     acc = jnp.zeros((blk // 2, TLANE), I32)
 
-    for r in range(nrounds):
-        def halves(x):
-            p = x.reshape(blk // 2, 2, TLANE)
-            return p[:, 0, :], p[:, 1, :]
+    # Twiddle planes: (blk/2, nrounds) in VMEM.  Round r's column is
+    # picked with a masked lane reduction (dynamic lane slicing is not a
+    # Mosaic strength; nrounds <= 10 lanes makes the reduce trivial).
+    tw_planes = [trs[:], tre[:], trh[:], trl[:],
+                 tis[:], tie[:], tih[:], til[:]]
+    lane_id = jax.lax.broadcasted_iota(I32, (blk // 2, nrounds), 1)
 
-        def split(v):
-            us, ws = halves(v.s)
-            ue, we = halves(v.e)
-            uh, wh = halves(v.mhi)
-            ul, wl = halves(v.mlo)
-            return fp.F64P(us, ue, uh, ul), fp.F64P(ws, we, wh, wl)
+    def col(p, r):
+        sel = lane_id == r
+        return jnp.sum(jnp.where(sel, p.astype(I32), jnp.int32(0)),
+                       axis=1, keepdims=True, dtype=I32)
+
+    def halves(x):
+        p = x.reshape(blk // 2, 2, TLANE)
+        return p[:, 0, :], p[:, 1, :]
+
+    def split(v):
+        us, ws = halves(v.s)
+        ue, we = halves(v.e)
+        uh, wh = halves(v.mhi)
+        ul, wl = halves(v.mlo)
+        return fp.F64P(us, ue, uh, ul), fp.F64P(ws, we, wh, wl)
+
+    def cat(u, w):
+        return fp.F64P(*(jnp.concatenate(p, axis=0) for p in zip(u, w)))
+
+    # One fori_loop over rounds: the body is traced ONCE, bounding the
+    # spill footprint to a single round's liveness (a fully unrolled
+    # version measures ~140 MB of Mosaic spill slots — far over VMEM).
+    def body(r, carry):
+        re, im, acc = carry
+        cols = [col(p, r) for p in tw_planes]
+        sre = fp.F64P(cols[0].astype(U32), cols[1],
+                      cols[2].astype(U32), cols[3].astype(U32))
+        sim = fp.F64P(cols[4].astype(U32), cols[5],
+                      cols[6].astype(U32), cols[7].astype(U32))
 
         ure, wre = split(re)
         uim, wim = split(im)
-        sre = fp.F64P(trs[:, r:r + 1], tre[:, r:r + 1],
-                      trh[:, r:r + 1], trl[:, r:r + 1])
-        sim = fp.F64P(tis[:, r:r + 1], tie[:, r:r + 1],
-                      tih[:, r:r + 1], til[:, r:r + 1])
-
         are, dre = fp.add_sub(ure, wre)
         aim, dim_ = fp.add_sub(uim, wim)
         p1 = fp.mul(dre, sre, b_nonzero=True)
@@ -157,13 +187,12 @@ def _kernel(vals_ref, trs, tre, trh, trl, tis, tie, tih, til,
         bim = fp.add(p3, p4)
         acc = fp.guard_min_e(acc, dre, dim_, p1, p2, p3, p4,
                              bre, bim, are, aim)
+        return cat(are, bre), cat(aim, bim), acc
 
-        def cat(u, w):
-            return fp.F64P(*(jnp.concatenate(p, axis=0)
-                             for p in zip(u, w)))
-
-        re = cat(are, bre)
-        im = cat(aim, bim)
+    # i32 bounds: an i64 loop index cannot even be *cast* inside a
+    # Mosaic trace under x64 (convert_element_type recursion).
+    re, im, acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nrounds),
+                                    body, (re, im, acc))
 
     res_ref[:], ree_ref[:] = re.s, re.e
     reh_ref[:], rel_ref[:] = re.mhi, re.mlo
@@ -178,16 +207,18 @@ def _encode_call(n: int, bpad: int, interpret: bool):
     twr, twi, inv, nrounds, nblocks, blk = _block_pease(n)
     ntiles = bpad // TLANE
 
+    _0 = np.int32(0)  # index-map literals must be i32 (x64 mode)
+
     def v_spec():
         return pl.BlockSpec((blk, TLANE), lambda t, b: (b, t))
 
     def tw_spec():
-        return pl.BlockSpec((1, blk // 2, nrounds), lambda t, b: (b, 0, 0))
+        return pl.BlockSpec((1, blk // 2, nrounds), lambda t, b: (b, _0, _0))
 
     grid = (ntiles, nblocks)
     out_specs = [pl.BlockSpec((blk, TLANE), lambda t, b: (b, t))
                  for _ in range(8)]
-    out_specs.append(pl.BlockSpec((1, 8, TLANE), lambda t, b: (b, 0, t)))
+    out_specs.append(pl.BlockSpec((1, 8, TLANE), lambda t, b: (b, _0, t)))
     out_shape = [jax.ShapeDtypeStruct((n, bpad), U32) for _ in range(8)]
     out_shape[1] = jax.ShapeDtypeStruct((n, bpad), I32)   # re.e
     out_shape[5] = jax.ShapeDtypeStruct((n, bpad), I32)   # im.e
@@ -204,6 +235,11 @@ def _encode_call(n: int, bpad: int, interpret: bool):
         in_specs=[v_spec()] + [tw_spec()] * 8,
         out_specs=out_specs,
         out_shape=out_shape,
+        # Mosaic spills aggressively in this long straight-line f64p body
+        # (one slot per value, little coalescing); raise the scoped-VMEM
+        # ceiling from the 16M default — v5e has 128M physical VMEM.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
