@@ -17,7 +17,8 @@ the axon tunnel platform, and fetching whole buffers would time the
 tunnel's device-to-host bandwidth instead of the kernels).
 
 Config via env:
-  BENCH_B        batch (default 1024)
+  BENCH_B        batch (default 512 — measured v5e sweet spot:
+                 22.7k enc/s vs 19.2k @1024 and 16.8k @2048 for sf)
   BENCH_ITERS    timed iterations (default 10)
   BENCH_DEGREE   polynomial degree (default 4096)
   BENCH_NPRIMES  RNS chain length (default 3)
@@ -60,7 +61,7 @@ def main():
     import seal_embedded_tpu  # noqa: F401  (x64 + compile cache)
     from seal_embedded_tpu.config import default_parms
 
-    B = int(os.environ.get("BENCH_B", "1024"))
+    B = int(os.environ.get("BENCH_B", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     degree = int(os.environ.get("BENCH_DEGREE", "4096"))
     nprimes = int(os.environ.get("BENCH_NPRIMES", "3"))
