@@ -75,8 +75,6 @@ def _block_pease(n: int):
     tables = ifft_root_tables(n)
 
     lam = np.arange(blk)
-    S_re = np.zeros((nrounds, blk // 2))
-    S_im = np.zeros((nrounds, blk // 2))
     # global group of pair: for block b, round r (tt = 2^r):
     #   j_glob = (b*blk + natural_u_index) // (2*tt)
     per_block_idx = np.zeros((nrounds, blk // 2), np.int64)
@@ -93,22 +91,6 @@ def _block_pease(n: int):
     tw_e = np.zeros((nblocks, blk // 2, nrounds), np.int32)
     tw_mhi = np.zeros((nblocks, blk // 2, nrounds), np.uint32)
     tw_mlo = np.zeros((nblocks, blk // 2, nrounds), np.uint32)
-    for b in range(nblocks):
-        for r in range(nrounds):
-            h_loc = blk >> (r + 1)
-            j = b * h_loc + per_block_idx[r]
-            re = tables[r][0][j]
-            im = tables[r][1][j]
-            pre = split_np(from_np_f64(re))
-            pim = split_np(from_np_f64(im))
-            # complex twiddle: pack re in even rounds slot... keep both:
-            # we store re and im interleaved on the round axis by
-            # doubling it.
-            tw_s[b, :, r] = pre.s
-            tw_e[b, :, r] = pre.e
-            tw_mhi[b, :, r] = pre.mhi
-            tw_mlo[b, :, r] = pre.mlo
-    # imaginary parts: a second set
     tw2_s = np.zeros_like(tw_s)
     tw2_e = np.zeros_like(tw_e)
     tw2_mhi = np.zeros_like(tw_mhi)
@@ -117,11 +99,12 @@ def _block_pease(n: int):
         for r in range(nrounds):
             h_loc = blk >> (r + 1)
             j = b * h_loc + per_block_idx[r]
+            pre = split_np(from_np_f64(tables[r][0][j]))
             pim = split_np(from_np_f64(tables[r][1][j]))
-            tw2_s[b, :, r] = pim.s
-            tw2_e[b, :, r] = pim.e
-            tw2_mhi[b, :, r] = pim.mhi
-            tw2_mlo[b, :, r] = pim.mlo
+            tw_s[b, :, r], tw_e[b, :, r] = pre.s, pre.e
+            tw_mhi[b, :, r], tw_mlo[b, :, r] = pre.mhi, pre.mlo
+            tw2_s[b, :, r], tw2_e[b, :, r] = pim.s, pim.e
+            tw2_mhi[b, :, r], tw2_mlo[b, :, r] = pim.mhi, pim.mlo
     TW = namedtuple("TW", "s e mhi mlo")
     return (TW(tw_s, tw_e, tw_mhi, tw_mlo),
             TW(tw2_s, tw2_e, tw2_mhi, tw2_mlo), inv, nrounds, nblocks, blk)
