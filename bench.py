@@ -295,7 +295,7 @@ def _component(what, parms, B, iters, rng, device):
     elif what == "sample":
         from seal_embedded_tpu.ops import sampling as sp
         share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
-        ctr = jnp.zeros((B,), jnp.uint32)
+        ctr = jnp.zeros((B, 2), jnp.uint32)
         fn = jax.jit(partial(sp.sample_uniform, n=n, q=moduli[0]))
         avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
         print(json.dumps({

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 import numpy as np
@@ -186,9 +187,11 @@ def verify_ciphertexts(ct_path: str, sk_path: str, degree: int = 4096,
            if name.strip().startswith("c0")]
     c1s = [np.array(v, dtype=np.uint32) for name, v in polys
            if name.strip().startswith("c1")]
+    # Cleartext lines are named "v" / "v (cleartext)" (api_tests.c:73-75);
+    # match the first token exactly so names merely containing the letter
+    # v (e.g. "conj_vals") can never be misread as cleartext.
     values = [np.array(v, dtype=np.float64) for name, v in polys
-              if "v" in name.split(":")[0] and not name.strip().startswith(
-                  ("c0", "c1"))]
+              if re.match(r"\s*v\b", name)]
     if values_path:
         with open(values_path) as f:
             values = [np.array(v, dtype=np.float64)

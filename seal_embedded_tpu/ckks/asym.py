@@ -67,7 +67,7 @@ def gen_pk_batch(sk_signed, pk_seed_words, ep, parms: Parms):
         pk0 = ma.add_mod(pk0, ntt_with_tables(ep_red, op_l, quot_l, mod), mod)
         return counter, (pk0, a)
 
-    _, (pk0, pk1) = jax.lax.scan(step, jnp.zeros((1,), jnp.uint32),
+    _, (pk0, pk1) = jax.lax.scan(step, sp.counter_zero((1,)),
                                  (mods, op, quot), length=parms.nprimes)
     return pk0, pk1
 
@@ -87,7 +87,7 @@ def asym_encrypt_batch(values, pk0, pk1, seed_words, parms: Parms,
     pt, ok = encode_any(values, parms, encode_mode)
 
     # Private stream, counters chaining u -> e0 -> e1 (ckks_asym.c:173-203).
-    counter = jnp.zeros((B,), jnp.uint32)
+    counter = sp.counter_zero((B,))
     u_signed, counter, ok_t = sp.sample_ternary(seed_words, counter, n)
     e0, counter = sp.sample_cbd(seed_words, counter, n)
     e1, counter = sp.sample_cbd(seed_words, counter, n)
@@ -123,7 +123,7 @@ def asym_encrypt_fused(values, pk0, pk1, seed_words, parms: Parms,
     moduli = tuple(int(q) for q in parms.moduli)
 
     pt, ok = encode_any(values, parms, encode_mode)
-    counter = jnp.zeros((B,), jnp.uint32)
+    counter = sp.counter_zero((B,))
     u_signed, counter, ok_t = sp.sample_ternary(seed_words, counter, n)
     e0, counter = sp.sample_cbd(seed_words, counter, n)
     e1, counter = sp.sample_cbd(seed_words, counter, n)

@@ -94,7 +94,7 @@ def sym_encrypt_fused(values, sk_signed, share_words, err_words,
 
     # --- encode + error (ckks_encode_base + ckks_sym_init) ---
     pt, ok_encode = encode_any(values, parms, encode_mode)
-    e, _ = sp.sample_cbd(err_words, jnp.zeros((B,), jnp.uint32), n)
+    e, _ = sp.sample_cbd(err_words, sp.counter_zero((B,)), n)
     pte = pt + e.astype(jnp.int64)
 
     # --- all-limb NTT(pte): reduce mod each q, one Pallas call ---
@@ -118,7 +118,7 @@ def sym_encrypt_fused(values, sk_signed, share_words, err_words,
         return (counter, ok & ok_u), a
 
     (counter, ok), a = jax.lax.scan(
-        step, (jnp.zeros((B,), jnp.uint32), ok_encode), mods, length=L)
+        step, (sp.counter_zero((B,)), ok_encode), mods, length=L)
 
     # --- c0 = -a * ntt(s) + ntt(pte) mod q, all limbs at once ---
     as_ = ma.mul_mod(a, ntt_s[:, None, :], mods_b)

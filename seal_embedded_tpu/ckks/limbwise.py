@@ -91,15 +91,17 @@ def sym_encrypt_from_pte(pte, sk_signed, share_words, parms: Parms,
             return (counter, ok & ok_u), (c0, c1)
 
         (counter, ok), (c0, c1) = jax.lax.scan(
-            step, (jnp.zeros((B,), jnp.uint32), ok_encode),
+            step, (sp.counter_zero((B,)), ok_encode),
             (mods, op, quot), length=L)
     elif layout == "parallel":
         # Strided counters decouple limbs; vmap the limb axis.
-        counters = (jnp.arange(L, dtype=jnp.uint32) *
-                    jnp.uint32(PARALLEL_COUNTER_STRIDE))
+        counters = jnp.stack(
+            [jnp.arange(L, dtype=jnp.uint32)
+             * jnp.uint32(PARALLEL_COUNTER_STRIDE),
+             jnp.zeros((L,), jnp.uint32)], axis=-1)
 
         def limb_fn(mod, op_l, quot_l, counter0):
-            counter = jnp.full((B,), counter0, jnp.uint32)
+            counter = jnp.broadcast_to(counter0, (B, 2))
             c0, c1, counter, ok_u = _one_prime(
                 pte, sk_signed, share_words, counter, mod, op_l, quot_l, n)
             return c0, c1, ok_u
@@ -121,7 +123,7 @@ def sym_encrypt_limbscan(values, sk_signed, share_words, err_words,
     B = values.shape[0]
     n = parms.degree
     pt, ok_encode = encode_any(values, parms, encode_mode)
-    e, _ = sp.sample_cbd(err_words, jnp.zeros((B,), jnp.uint32), n)
+    e, _ = sp.sample_cbd(err_words, sp.counter_zero((B,)), n)
     pte = pt + e.astype(jnp.int64)
     out = sym_encrypt_from_pte(pte, sk_signed, share_words, parms,
                                layout=layout, ok_in=ok_encode, order=order)
@@ -155,14 +157,16 @@ def expand_c1(share_words, parms: Parms, layout: str = "reference",
             return (counter, ok & ok_u), a
 
         (_, ok), c1 = jax.lax.scan(
-            step, (jnp.zeros((B,), jnp.uint32), jnp.ones((B,), bool)),
+            step, (sp.counter_zero((B,)), jnp.ones((B,), bool)),
             mods, length=L)
     elif layout == "parallel":
-        counters = (jnp.arange(L, dtype=jnp.uint32) *
-                    jnp.uint32(PARALLEL_COUNTER_STRIDE))
+        counters = jnp.stack(
+            [jnp.arange(L, dtype=jnp.uint32)
+             * jnp.uint32(PARALLEL_COUNTER_STRIDE),
+             jnp.zeros((L,), jnp.uint32)], axis=-1)
 
         def limb_fn(mod, counter0):
-            counter = jnp.full((B,), counter0, jnp.uint32)
+            counter = jnp.broadcast_to(counter0, (B, 2))
             a, _, ok_u = sp.sample_uniform(share_words, counter, n, mod)
             return a, ok_u
 

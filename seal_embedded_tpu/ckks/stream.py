@@ -54,8 +54,7 @@ def _limb_step(parms: Parms):
 def _encode_err(parms: Parms, encode_mode: str):
     def f(values, err_words):
         pt, ok = encode_any(values, parms, encode_mode)
-        e, _ = sp.sample_cbd(err_words, jnp.zeros((values.shape[0],),
-                                                  jnp.uint32),
+        e, _ = sp.sample_cbd(err_words, sp.counter_zero((values.shape[0],)),
                              parms.degree)
         return pt + e.astype(jnp.int64), ok
 
@@ -66,20 +65,23 @@ def sym_encrypt_stream(values, sk_signed, share_words, err_words,
                        parms: Parms, encode_mode: str = "f64",
                        order: str = "forward") -> Iterator[dict]:
     """Yields one dict per prime, in chain-walk order:
-    {"prime_idx", "q", "c0", "c1"} with c0/c1 u32 (B, n) numpy arrays.
+    {"prime_idx", "q", "c0", "c1", "ok"} with c0/c1 u32 (B, n) numpy
+    arrays; "ok" folds the encode overflow flag (checked once, at the
+    first yielded limb) with that limb's sampler-queue flag — both assert
+    here AND surface in the dict for sweep/driver bookkeeping.
 
     The device runs ahead: limb i+1's dispatch is queued before limb i's
     components are fetched, so host-side send overlaps device compute.
     """
     step = _limb_step(parms)
-    pte, ok = _encode_err(parms, encode_mode)(values, err_words)
+    pte, ok_enc = _encode_err(parms, encode_mode)(values, err_words)
 
     idxs = list(range(parms.nprimes))
     if order == "reverse":
         idxs = idxs[::-1]
 
     B = values.shape[0]
-    counter = jnp.zeros((B,), jnp.uint32)
+    counter = sp.counter_zero((B,))
     pending = []  # (prime_idx, q, c0, c1, ok) device arrays, queue depth 1
     for i in idxs:
         q = int(parms.moduli[i])
@@ -88,7 +90,7 @@ def sym_encrypt_stream(values, sk_signed, share_words, err_words,
         op, quot = ntt_tables(parms.degree, q)
         c0, c1, counter, ok_u = step(pte, sk_signed, share_words, counter,
                                      mod, jnp.asarray(op), jnp.asarray(quot))
-        pending.append((i, q, c0, c1, ok_u))
+        pending.append((i, q, c0, c1, ok_u & ok_enc))
         if len(pending) > 1:
             yield _fetch(pending.pop(0))
     while pending:
@@ -97,9 +99,10 @@ def sym_encrypt_stream(values, sk_signed, share_words, err_words,
 
 def _fetch(item):
     i, q, c0, c1, ok = item
-    assert bool(np.asarray(ok).all()), f"sampler overflow at prime {i}"
+    ok = bool(np.asarray(ok).all())
+    assert ok, f"sampler overflow or encode overflow at prime {i}"
     return {"prime_idx": i, "q": q, "c0": np.asarray(c0),
-            "c1": np.asarray(c1)}
+            "c1": np.asarray(c1), "ok": ok}
 
 
 def se_encrypt_streaming(ctx, values, share_seeds, err_seeds,

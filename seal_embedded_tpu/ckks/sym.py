@@ -53,11 +53,11 @@ def sym_encrypt_batch(values, sk_signed, share_seed_words, err_seed_words,
 
     pt, ok_encode = encode(values, parms)
 
-    err_counter = jnp.zeros((B,), jnp.uint32)
+    err_counter = sp.counter_zero((B,))
     e, _ = sp.sample_cbd(err_seed_words, err_counter, n)
     pte = pt + e.astype(jnp.int64)
 
-    share_counter = jnp.zeros((B,), jnp.uint32)
+    share_counter = sp.counter_zero((B,))
     ok = ok_encode
     c0_list, c1_list = [], []
     for q in parms.moduli:

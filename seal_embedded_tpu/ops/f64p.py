@@ -258,6 +258,44 @@ def mul(a: F64P, b: F64P, b_nonzero: bool = False) -> F64P:
                 jnp.where(zero, jnp.uint32(0), out.mlo))
 
 
+# ----------------------------------------------------------------- round
+
+
+def round_away_i64(a: F64P):
+    """C99 round() -> signed i64 held as (lo, hi) u32 planes
+    (f64x.round_away_i64 on pairs; ckks_common.c:192-206 semantics).
+
+    Returns (lo u32, hi u32, ok bool) where ok is False on
+    |result| >= 2^63 (the reference's encode overflow check)."""
+    e = a.e
+    # e - 52 >= 0: integral, value = m << (e - 52).
+    lsh = jnp.clip(e - jnp.int32(52), jnp.int32(0), jnp.int32(63))
+    bhi, blo = _shl64(a.mhi, a.mlo, lsh)
+    # e - 52 < 0: |r| = (m + 2^(shift-1)) >> shift, shift = 52 - e in [1, 63].
+    rsh = jnp.clip(jnp.int32(52) - e, jnp.int32(1), jnp.int32(63))
+    hhi, hlo = _shl64(jnp.zeros_like(a.mhi), jnp.ones_like(a.mlo),
+                      rsh - jnp.int32(1))
+    thi, tlo = _add64(a.mhi, a.mlo, hhi, hlo)
+    shi, slo = _shr64(thi, tlo, rsh)
+    integral = e >= jnp.int32(52)
+    mhi = jnp.where(integral, bhi, shi)
+    mlo = jnp.where(integral, blo, slo)
+    zero = (a.mhi | a.mlo) == jnp.uint32(0)
+    mhi = jnp.where(zero, jnp.uint32(0), mhi)
+    mlo = jnp.where(zero, jnp.uint32(0), mlo)
+    # Overflow: integral path must fit 63 bits pre- and post-shift.
+    rhi, rlo = _shr64(bhi, blo, lsh)
+    bad = integral & ((e - jnp.int32(52) > jnp.int32(10))
+                      | (rhi != a.mhi) | (rlo != a.mlo)
+                      | (bhi >= jnp.uint32(1 << 31)))
+    ok = (~bad) | zero
+    # Signed: negate magnitude where s == 1 (two's complement on the pair).
+    nlo = _u32(jnp.uint32(0) - mlo)
+    nhi = _u32(~mhi + _u32(mlo == jnp.uint32(0)))
+    neg = a.s == jnp.uint32(1)
+    return (jnp.where(neg, nlo, mlo), jnp.where(neg, nhi, mhi), ok)
+
+
 # ----------------------------------------------------------------- convert
 
 

@@ -51,12 +51,64 @@ def _blocks_for_bytes(nbytes: int) -> int:
     return -(-nbytes // 136)
 
 
-def _counter_pair(counter):
-    """uint32 (...,) call counter -> (..., 2) (lo, hi) pair.  Counters are
-    64-bit in the reference; we track them as u32 lo + u32 hi."""
-    lo = counter.astype(U32)
-    hi = jnp.zeros_like(lo)
+# --------------------------------------------------------------- counters
+#
+# PRNG call counters are 64-bit in the reference (rng.h:26-30) and are
+# carried here as u32 (..., 2) (lo, hi) pairs with full carry propagation,
+# so a stream chained across many polys crosses the 2^32 boundary exactly
+# like the reference's uint64 (validated against the golden model in
+# tests/test_ops.py).  Wrap of the full 64-bit counter triggers a reseed
+# in the reference (rng.h:85-91, getrandom) — a non-deterministic host
+# action, mirrored at the API layer via reseed_on_overflow().
+
+
+def counter_zero(batch_shape) -> jnp.ndarray:
+    """Fresh per-stream counter pairs, value 0 (prng_randomize_reset)."""
+    return jnp.zeros(tuple(batch_shape) + (2,), U32)
+
+
+def counter_from_int(batch_shape, value: int) -> jnp.ndarray:
+    """Counter pairs starting at an arbitrary u64 value (parallel counter
+    layouts use i * STRIDE)."""
+    lo = jnp.full(tuple(batch_shape), np.uint32(value & 0xFFFFFFFF), U32)
+    hi = jnp.full(tuple(batch_shape), np.uint32(value >> 32), U32)
     return jnp.stack([lo, hi], axis=-1)
+
+
+def _c_add(c, inc):
+    """c (..., 2) + inc (u32 scalar/array < 2^32), with carry into hi."""
+    inc = jnp.asarray(inc, U32)
+    lo = c[..., 0] + inc
+    hi = c[..., 1] + (lo < c[..., 0]).astype(U32)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _c_offsets(c, offs):
+    """c (..., 2) + offs (K,) u32 -> (..., K, 2) queue counter pairs."""
+    lo = c[..., 0, None] + offs
+    hi = c[..., 1, None] + (lo < c[..., 0, None]).astype(U32)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def counter_overflowed(before, after):
+    """True where the u64 counter wrapped between two points in a stream
+    (the reference's `counter == 0` post-increment check, rng.h:85)."""
+    return ((after[..., 1] < before[..., 1])
+            | ((after[..., 1] == before[..., 1])
+               & (after[..., 0] < before[..., 0])))
+
+
+def reseed_on_overflow(seed_words, before, after, fresh_seed_words):
+    """API-layer mirror of rng.h:85-91: where a stream's counter wrapped,
+    swap in fresh seed material and reset the counter to 0.
+
+    seed_words (..., 16), before/after (..., 2), fresh_seed_words like
+    seed_words (host entropy, e.g. os.urandom -> keccak.seed_to_words).
+    Returns (seed_words, counters, reseeded_mask)."""
+    wrapped = counter_overflowed(before, after)
+    seed_out = jnp.where(wrapped[..., None], fresh_seed_words, seed_words)
+    ctr_out = jnp.where(wrapped[..., None], jnp.zeros_like(after), after)
+    return seed_out, ctr_out, wrapped
 
 
 def _words_to_bytes(words):
@@ -150,39 +202,40 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
 def sample_uniform(seed_words, counter, n: int, q):
     """sample_poly_uniform (sample.c:39-57), batched.
 
-    seed_words: u32 (16,) or broadcastable; counter: u32 (...,) current PRNG
-    counter per stream; q: int or Mod (supports per-limb traced moduli).
-    Returns (poly u32 (..., n), next_counter, ok).
+    seed_words: u32 (16,) or broadcastable; counter: u32 (..., 2) (lo, hi)
+    u64 PRNG counter pair per stream; q: int or Mod (supports per-limb
+    traced moduli).  Returns (poly u32 (..., n), next_counter, ok).
     """
     from .modarith import as_mod, barrett32
     m = as_mod(q)
     max_multiple = m.max_multiple
     nblocks = _blocks_for_bytes(4 * n)
-    base_words = shake256_words(seed_words, _counter_pair(counter), nblocks)
+    base_words = shake256_words(seed_words, counter, nblocks)
     base = base_words[..., :n]
     rejected = base >= max_multiple
 
     # Extra-draw queue: counters counter+1 .. counter+CAP; value = first word.
     cap = uniform_queue_cap(n)
-    qcounters = counter[..., None] + 1 + jnp.arange(cap, dtype=U32)
-    qwords = shake256_words(seed_words, _counter_pair(qcounters), 1)
+    qcounters = _c_offsets(counter, 1 + jnp.arange(cap, dtype=U32))
+    qwords = shake256_words(seed_words, qcounters, 1)
     qvals = qwords[..., 0]
     qacc = qvals < max_multiple
 
     final, consumed, ok = _rank_select(base, rejected, qvals, qacc)
     poly = barrett32(final, m)
-    next_counter = counter + 1 + consumed
+    next_counter = _c_add(counter, 1 + consumed)
     return poly, next_counter, ok
 
 
 def _ternary_block(seed_words, counter, count_here: int):
     """One 96-byte ternary block + its rejection queue (sample.c:223-241)."""
-    base_words = shake256_words(seed_words, _counter_pair(counter), 1)
+    base_words = shake256_words(seed_words, counter, 1)
     base_bytes = _words_to_bytes(base_words[..., :24])  # 96 bytes
     rejected = base_bytes >= 0xFE
 
-    qcounters = counter[..., None] + 1 + jnp.arange(TERNARY_QUEUE_CAP, dtype=U32)
-    qwords = shake256_words(seed_words, _counter_pair(qcounters), 1)
+    qcounters = _c_offsets(counter,
+                           1 + jnp.arange(TERNARY_QUEUE_CAP, dtype=U32))
+    qwords = shake256_words(seed_words, qcounters, 1)
     qvals = qwords[..., 0] & 0xFF  # first byte of each 1-byte refill
     qacc = qvals < 0xFE
 
@@ -192,16 +245,16 @@ def _ternary_block(seed_words, counter, count_here: int):
         rejected = rejected & (jnp.arange(96) < count_here)
     final, consumed, ok = _rank_select(base_bytes, rejected, qvals, qacc)
     vals = (final % 3).astype(I32) - 1  # {0,1,2} -> {-1,0,1}
-    return vals, counter + 1 + consumed, ok
+    return vals, _c_add(counter, 1 + consumed), ok
 
 
 def sample_ternary(seed_words, counter, n: int):
     """sample_small_poly_ternary_prng_96 (sample.c:218-242), batched.
 
-    Returns (signed {-1,0,1} i32 (..., n), next_counter, ok).  The packed
-    2-bit form for serialization derives as signed+1.  Full blocks run under
-    one lax.scan (single compiled Keccak body); the tail block, if any, is
-    traced separately.
+    counter: u32 (..., 2) u64 pair.  Returns (signed {-1,0,1} i32
+    (..., n), next_counter, ok).  The packed 2-bit form for serialization
+    derives as signed+1.  Full blocks run under one lax.scan (single
+    compiled Keccak body); the tail block, if any, is traced separately.
     """
     nfull, tail = divmod(n, 96)
 
@@ -210,7 +263,7 @@ def sample_ternary(seed_words, counter, n: int):
         vals, counter, ok_b = _ternary_block(seed_words, counter, 96)
         return (counter, ok & ok_b), vals
 
-    ok0 = jnp.ones(counter.shape, bool)
+    ok0 = jnp.ones(counter.shape[:-1], bool)
     if nfull > 0:
         (counter, ok), blocks = jax.lax.scan(
             step, (counter, ok0), None, length=nfull)
@@ -219,7 +272,7 @@ def sample_ternary(seed_words, counter, n: int):
         signed = blocks.reshape(blocks.shape[:-2] + (nfull * 96,))
     else:
         ok = ok0
-        signed = jnp.zeros(counter.shape + (0,), I32)
+        signed = jnp.zeros(counter.shape[:-1] + (0,), I32)
     if tail:
         vals, counter, ok_t = _ternary_block(seed_words, counter, tail)
         signed = jnp.concatenate([signed, vals[..., :tail]], axis=-1)
@@ -241,17 +294,18 @@ def sample_cbd(seed_words, counter, n: int):
     """sample_poly_cbd_generic_prng_16 (sample.c:311-321), batched.
 
     No rejection: n/16 fills of 96 bytes each, deterministic counters.
+    counter: u32 (..., 2) u64 pair.
     Returns (err i32 (..., n) in [-63, 63], next_counter).
     """
     nfills = -(-n // 16)
-    fcounters = counter[..., None] + jnp.arange(nfills, dtype=U32)
-    words = shake256_words(seed_words, _counter_pair(fcounters), 1)
+    fcounters = _c_offsets(counter, jnp.arange(nfills, dtype=U32))
+    words = shake256_words(seed_words, fcounters, 1)
     by = _words_to_bytes(words[..., :24])  # (..., nfills, 96)
     by = by.reshape(by.shape[:-2] + (nfills * 16, 6))[..., :n, :]
     hw = _popcount8(by)
     val = (hw[..., 0] + hw[..., 1] + _popcount8(by[..., 2] & 0x1F)
            - hw[..., 3] - hw[..., 4] - _popcount8(by[..., 5] & 0x1F))
-    return val.astype(I32), counter + nfills
+    return val.astype(I32), _c_add(counter, nfills)
 
 
 def ternary_to_modq(signed, q: int):

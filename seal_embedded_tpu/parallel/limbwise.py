@@ -49,8 +49,9 @@ from ..ops.ntt import ntt_tables_stacked, ntt_with_tables
 def _limb_consts(parms: Parms):
     mods = ma.Mod(*(jnp.asarray(f) for f in ma.modpack(parms.moduli)))
     op, quot = ntt_tables_stacked(parms.degree, parms.moduli)
-    ctr0 = (np.arange(parms.nprimes) * PARALLEL_COUNTER_STRIDE
-            ).astype(np.uint32)
+    ctr0 = np.stack([(np.arange(parms.nprimes) * PARALLEL_COUNTER_STRIDE
+                      ).astype(np.uint32),
+                     np.zeros(parms.nprimes, np.uint32)], axis=-1)
     return mods, jnp.asarray(op), jnp.asarray(quot), jnp.asarray(ctr0)
 
 
@@ -72,7 +73,7 @@ def make_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(data_axis, None), P(), P(data_axis, None),
                        P(limb_axis), P(limb_axis, None), P(limb_axis, None),
-                       P(limb_axis)),
+                       P(limb_axis, None)),
              out_specs=(P(limb_axis, data_axis, None),
                         P(limb_axis, data_axis, None),
                         P(limb_axis, data_axis)))
@@ -80,7 +81,7 @@ def make_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
         B_loc = pte.shape[0]
 
         def limb_fn(mod, op_l, quot_l, c0_init):
-            counter = jnp.full((B_loc,), c0_init, jnp.uint32)
+            counter = jnp.broadcast_to(c0_init, (B_loc, 2))
             a, counter, ok_u = sp.sample_uniform(share_words, counter, n, mod)
             s_modq = sp.ternary_to_modq_any(sk_signed, mod)
             ntt_s = ntt_with_tables(s_modq, op_l, quot_l, mod)
@@ -96,7 +97,7 @@ def make_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
         from ..ops.encode import encode_any
         B = values.shape[0]
         pt, ok_e = encode_any(values, parms, encode_mode)
-        e, _ = sp.sample_cbd(err_words, jnp.zeros((B,), jnp.uint32), n)
+        e, _ = sp.sample_cbd(err_words, sp.counter_zero((B,)), n)
         pte = pt + e.astype(jnp.int64)
         c0, c1, ok_u = limb_pipe(pte, sk_signed, share_words,
                                  mods, op, quot, ctr0)
@@ -153,7 +154,7 @@ def make_asym_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
         from ..ops.encode import encode_any
         B = values.shape[0]
         pt, ok = encode_any(values, parms, encode_mode)
-        counter = jnp.zeros((B,), jnp.uint32)
+        counter = sp.counter_zero((B,))
         u_signed, counter, ok_t = sp.sample_ternary(seed_words, counter, n)
         e0, counter = sp.sample_cbd(seed_words, counter, n)
         e1, counter = sp.sample_cbd(seed_words, counter, n)

@@ -107,11 +107,16 @@ def collect_to_host(out) -> dict:
     (the reference's send-over-network seam, seal_embedded.c:180-204).
 
     Single-process meshes: a plain device_get.  Multi-process: each host
-    fetches its addressable ciphertext shards only (streaming each limb
-    component as produced is ckks/stream.py's job); use
+    fetches its addressable ciphertext shards only, returned as a list of
+    ``(index, array)`` pairs per key — ``index`` is the shard's global
+    placement (tuple of slices into the global array, ``Shard.index``), so
+    hosts can reconstruct exactly which batch/limb positions they hold
+    (a bare stack would mix batch and limb shards in device order with no
+    way back to global coordinates).  Streaming each limb component as
+    produced is ckks/stream.py's job; use
     ``jax.experimental.multihost_utils.process_allgather`` instead when
     every host needs the full ciphertext."""
     if jax.process_count() <= 1:
         return {k: np.asarray(v) for k, v in out.items()}
-    return {k: np.stack([np.asarray(s.data) for s in v.addressable_shards])
+    return {k: [(s.index, np.asarray(s.data)) for s in v.addressable_shards]
             for k, v in out.items()}

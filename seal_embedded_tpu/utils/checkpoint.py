@@ -61,9 +61,19 @@ class CheckpointJournal:
             os.fsync(f.fileno())
 
     def begin(self, batch_id: int, inputs: dict, meta: dict | None = None):
-        """Write-ahead: persist inputs, then journal PENDING."""
-        np.savez(os.path.join(self.dirpath, f"batch_{batch_id}_inputs.npz"),
-                 **inputs)
+        """Write-ahead: persist inputs durably, then journal PENDING.
+
+        The npz is written to a temp file, fsynced and atomically renamed
+        BEFORE the PENDING record is appended — a crash can leave an
+        orphan npz (harmless) but never a durable PENDING record pointing
+        at a missing or truncated inputs file."""
+        final = os.path.join(self.dirpath, f"batch_{batch_id}_inputs.npz")
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **inputs)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
         self._append(BatchRecord(batch_id, "pending",
                                  dict(meta or {}, ts=time.time())))
 
@@ -91,14 +101,24 @@ class CheckpointJournal:
 
     def pending(self) -> list:
         """Batches needing (re-)execution after a crash, with their
-        journaled inputs."""
+        journaled inputs.
+
+        A pending record whose inputs npz is missing or unreadable is
+        exactly the data loss the write-ahead journal exists to surface
+        (begin() makes it unreachable short of external deletion), so it
+        raises instead of being silently skipped."""
         todo = []
         for bid, status in sorted(self.scan().items()):
             if status == "done":
                 continue
             path = os.path.join(self.dirpath, f"batch_{bid}_inputs.npz")
-            todo.append((bid, dict(np.load(path)) if os.path.exists(path)
-                         else None))
+            try:
+                inputs = dict(np.load(path))
+            except (OSError, ValueError) as e:
+                raise RuntimeError(
+                    f"journal lists batch {bid} as {status!r} but its "
+                    f"inputs file {path} is missing or corrupt: {e}") from e
+            todo.append((bid, inputs))
         return todo
 
 
@@ -134,8 +154,6 @@ class CheckpointedRunner:
         """Re-run every non-done journaled batch (identical bits)."""
         outs = {}
         for bid, inputs in self.journal.pending():
-            if inputs is None:
-                continue
             outs[bid] = self.run(bid, inputs["values"], sk_signed,
                                  inputs["share_words"], inputs["err_words"],
                                  on_output)

@@ -140,9 +140,10 @@ def run_sweep(degree: int = 512, batch: int = 4, quick: bool = False):
         outs.sort(key=lambda d: d["prime_idx"])
         c0 = np.stack([d["c0"] for d in outs])
         c1 = np.stack([d["c1"] for d in outs])
+        ok = all(d["ok"] for d in outs)
         bitexact = (order == "forward"
                     and (enc == "sf" or (enc == "f64" and ieee_backend)))
-        record(f"stream order={order} encode={enc}", c0, c1, True, bitexact)
+        record(f"stream order={order} encode={enc}", c0, c1, ok, bitexact)
 
     failed = [name for name, passed, _, _ in results if not passed]
     print(f"\n{len(results) - len(failed)}/{len(results)} configs passed"

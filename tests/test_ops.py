@@ -84,6 +84,12 @@ def test_ntt_intt_roundtrip_jnp():
     assert np.array_equal(np.asarray(y), x)
 
 
+def _c64(nc, i):
+    """Compose a u64 from a (..., 2) (lo, hi) counter pair row."""
+    nc = np.asarray(nc)
+    return int(nc[i, 0]) | (int(nc[i, 1]) << 32)
+
+
 def test_keccak_vs_hashlib():
     seed = bytes(range(64))
     sw = jnp.asarray(kc.seed_to_words(seed))
@@ -98,37 +104,78 @@ def test_uniform_sampler_bit_exact():
     seed = bytes((7 + i) & 0xFF for i in range(64))
     sw = jnp.asarray(kc.seed_to_words(seed))
     f = jax.jit(partial(sp.sample_uniform, n=N, q=Q))
-    poly, nc, ok = f(sw, jnp.zeros((2,), jnp.uint32))
+    poly, nc, ok = f(sw, sp.counter_zero((2,)))
     gp = Prng(seed)
     want = gs.sample_poly_uniform(N, Q, gp)
     assert bool(np.asarray(ok).all())
     assert np.asarray(poly)[0].tolist() == want
-    assert int(np.asarray(nc)[0]) == gp.counter
+    assert _c64(nc, 0) == gp.counter
     # chained second call (next prime)
     want2 = gs.sample_poly_uniform(N, Q, gp)
     poly2, nc2, _ = f(sw, nc)
     assert np.asarray(poly2)[0].tolist() == want2
-    assert int(np.asarray(nc2)[0]) == gp.counter
+    assert _c64(nc2, 0) == gp.counter
 
 
 def test_ternary_sampler_bit_exact():
     seed = bytes((5 + i) & 0xFF for i in range(64))
     sw = jnp.asarray(kc.seed_to_words(seed))
     f = jax.jit(partial(sp.sample_ternary, n=N))
-    s, nc, ok = f(sw, jnp.zeros((2,), jnp.uint32))
+    s, nc, ok = f(sw, sp.counter_zero((2,)))
     gp = Prng(seed)
     want = gs.ternary_signed(gs.sample_small_poly_ternary_96(N, gp), N)
     assert bool(np.asarray(ok).all())
     assert np.asarray(s)[0].tolist() == want
-    assert int(np.asarray(nc)[0]) == gp.counter
+    assert _c64(nc, 0) == gp.counter
 
 
 def test_cbd_sampler_bit_exact():
     seed = bytes((9 + i) & 0xFF for i in range(64))
     sw = jnp.asarray(kc.seed_to_words(seed))
     f = jax.jit(partial(sp.sample_cbd, n=N))
-    e, nc = f(sw, jnp.zeros((2,), jnp.uint32))
+    e, nc = f(sw, sp.counter_zero((2,)))
     gp = Prng(seed)
     want = gs.sample_poly_cbd_16(N, gp)
     assert np.asarray(e)[0].tolist() == want
-    assert int(np.asarray(nc)[0]) == gp.counter
+    assert _c64(nc, 0) == gp.counter
+
+
+def test_counter_crosses_u32_boundary():
+    """u64 counter pairs: a stream whose counter starts just below 2^32
+    carries into the hi word exactly like the reference's uint64
+    (rng.h:78-91); values and final counter match the golden model."""
+    seed = bytes((3 + i) & 0xFF for i in range(64))
+    sw = jnp.asarray(kc.seed_to_words(seed))
+    start = 2 ** 32 - 2
+    ctr = jnp.asarray(np.array([[start & 0xFFFFFFFF, start >> 32]] * 2,
+                               dtype=np.uint32))
+    poly, nc, ok = jax.jit(partial(sp.sample_uniform, n=N, q=Q))(sw, ctr)
+    gp = Prng(seed, counter=start)
+    want = gs.sample_poly_uniform(N, Q, gp)
+    assert bool(np.asarray(ok).all())
+    assert np.asarray(poly)[0].tolist() == want
+    assert _c64(nc, 0) == gp.counter
+    assert np.asarray(nc)[0, 1] == 1  # crossed into the hi word
+    # CBD crossing too (deterministic counters, no rejection).
+    e, nc2 = jax.jit(partial(sp.sample_cbd, n=N))(sw, ctr)
+    gp2 = Prng(seed, counter=start)
+    assert np.asarray(e)[0].tolist() == gs.sample_poly_cbd_16(N, gp2)
+    assert _c64(nc2, 0) == gp2.counter
+
+
+def test_reseed_on_overflow():
+    """API-layer mirror of rng.h:85-91: a wrapped stream gets fresh seed
+    material and counter 0; unwrapped streams are untouched."""
+    before = jnp.asarray(np.array([[0xFFFFFFFF, 0xFFFFFFFF], [5, 0]],
+                                  dtype=np.uint32))
+    after = jnp.asarray(np.array([[2, 0], [9, 0]], dtype=np.uint32))
+    wrapped = np.asarray(sp.counter_overflowed(before, after))
+    assert wrapped.tolist() == [True, False]
+    seeds = jnp.asarray(np.arange(32, dtype=np.uint32).reshape(2, 16))
+    fresh = jnp.asarray(np.full((2, 16), 77, dtype=np.uint32))
+    s2, c2, w = sp.reseed_on_overflow(seeds, before, after, fresh)
+    assert np.asarray(w).tolist() == [True, False]
+    assert np.asarray(s2)[0].tolist() == [77] * 16
+    assert np.asarray(s2)[1].tolist() == list(range(16, 32))
+    assert np.asarray(c2)[0].tolist() == [0, 0]
+    assert np.asarray(c2)[1].tolist() == [9, 0]
