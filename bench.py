@@ -1,15 +1,17 @@
 """Benchmark: batched CKKS encode+encrypt throughput on real TPU.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline north star (BASELINE.md): 100,000 bit-exact n=4096 sym
-encryptions/sec on a v5e-8 => per-chip target 12,500 enc/s.
+Default mode ("all") emits the full tracked matrix from BASELINE.md as a
+sequence of JSON lines — component kernels with speed-of-light roofline
+comparisons, asym and deep-chain pipelines — and prints the HEADLINE
+line LAST (sym n=4096/L=3, bit-exact sf encode, golden-verified
+on-device) so drivers that record the final line capture the headline
+with the whole matrix summarized in extra.matrix.
 
-The default run reports the BIT-EXACT configuration as the headline
-(encode="sf": software IEEE-754 f64 on device, ops/f64x.py — ciphertexts
-bit-identical to the C reference), measures the decode-exact fast path
-(encode="dd") alongside in extra, and — when the flagship golden vectors
-apply — re-verifies one golden batch ON THE DEVICE inside the same
-compiled graph before reporting (extra.verify).
+The headline reports the BIT-EXACT configuration (encode="sf": software
+IEEE-754 f64 on device — ciphertexts bit-identical to the C reference),
+measures the decode-exact fast path (encode="dd") alongside, and
+re-verifies golden batches ON THE DEVICE inside the same compiled graph
+before reporting (extra.verify).
 
 Timing uses amortized back-to-back dispatch with a one-element fetch
 barrier, sliced on device (block_until_ready is not a reliable fence on
@@ -17,8 +19,10 @@ the axon tunnel platform, and fetching whole buffers would time the
 tunnel's device-to-host bandwidth instead of the kernels).
 
 Config via env:
-  BENCH_B        batch (default 512 — measured v5e sweet spot:
-                 22.7k enc/s vs 19.2k @1024 and 16.8k @2048 for sf)
+  BENCH_WHAT     all | pipeline | ntt | keccak | encode | sample |
+                 index_map | verify        (default all)
+  BENCH_B        batch for single-config modes (default 512 — measured
+                 v5e sweet spot for the n=4096 pipelines)
   BENCH_ITERS    timed iterations (default 10)
   BENCH_DEGREE   polynomial degree (default 4096)
   BENCH_NPRIMES  RNS chain length (default 3)
@@ -26,9 +30,16 @@ Config via env:
   BENCH_ENCODE   sf | dd | f64  (default sf: bit-exact; dd is the
                  decode-exact fast path; integer stages are bit-exact
                  in every mode)
-  BENCH_DD_TOO   1 (default) also measure encode=dd for extra; 0 skips
-  BENCH_WHAT     pipeline | ntt | keccak | encode | sample | verify
-                 (default pipeline)
+  BENCH_DD_TOO   1 (default) also measure encode=dd in extra; 0 skips
+  BENCH_DEEP     1 (default) include n=8192/16384 deep chains in all;
+                 0 limits "all" to the n=4096 rows + components
+
+Roofline accounting (BASELINE.md "NTT butterflies/sec tracked vs
+per-chip speed-of-light"): speed-of-light numbers below assume the v5e
+VPU upper bound of 4 ALU ops/cycle/lane x (8x128) lanes x 940 MHz
+= 3.85e12 u32 ops/s and the op counts stated per kernel; they are
+printed with each component line as extra.sol_* so every measurement
+carries its distance-to-light.
 """
 
 import json
@@ -36,6 +47,9 @@ import os
 import time
 
 import numpy as np
+
+VPU_OPS_PER_S = 3.85e12  # v5e upper bound: 4 ops/cycle/lane * 1024 * 0.94GHz
+NTT_OPS_PER_BFLY = 20    # _shoup_lazy (mulhi 16-bit limbs) + lazy correction
 
 
 def _fetch_one(x):
@@ -55,37 +69,19 @@ def _time(fn, args, iters):
     return (time.time() - t0) / iters, compile_s, out
 
 
-def main():
-    import jax
+def _emit(metric, value, unit, vs_baseline, extra):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit,
+            "vs_baseline": round(vs_baseline, 3), "extra": extra}
+    print(json.dumps(line), flush=True)
+    return line
+
+
+def _pipeline_inputs(parms, B, rng, encode_mode, pipe):
+    """Batch inputs; rows 0..G-1 carry the C-reference golden vectors
+    (same sk, same PRNG seeds) when they match the config, so the exact
+    computation being timed is verified bit-for-bit."""
     import jax.numpy as jnp
-    import seal_embedded_tpu  # noqa: F401  (x64 + compile cache)
-    from seal_embedded_tpu.config import default_parms
-
-    B = int(os.environ.get("BENCH_B", "512"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    degree = int(os.environ.get("BENCH_DEGREE", "4096"))
-    nprimes = int(os.environ.get("BENCH_NPRIMES", "3"))
-    pipe = os.environ.get("BENCH_PIPE", "fused")
-    encode_mode = os.environ.get("BENCH_ENCODE", "sf")
-    what = os.environ.get("BENCH_WHAT", "pipeline")
-
-    parms = default_parms(degree, nprimes)
     n = parms.degree
-    rng = np.random.default_rng(0)
-    device = str(jax.devices()[0])
-    per_chip_target = 100_000 / 8  # v5e-8 north star split per chip
-
-    if what == "verify":
-        _verify_only(parms, device)
-        return
-    if what != "pipeline":
-        _component(what, parms, B, iters, rng, device)
-        return
-
-    # Inputs: when the flagship golden vectors match this config and the
-    # encode mode is bit-exact, rows 0..G-1 carry the C-reference test
-    # vectors/seeds (same sk, same PRNG seeds) so the exact computation
-    # being timed can be verified bit-for-bit against the reference.
     gold = _load_golden(parms) if encode_mode in ("sf", "f64") else None
     values_np = rng.uniform(-1, 1, (B, n // 2)).astype(np.float32)
     share_np = rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32)
@@ -99,30 +95,38 @@ def main():
     else:
         gold = None
         sk_np = (rng.integers(0, 3, n) - 1).astype(np.int32)
-    values = jnp.asarray(values_np)
-    sk = jnp.asarray(sk_np)
-    share = jnp.asarray(share_np)
-    err = jnp.asarray(err_np)
+    return (jnp.asarray(values_np), jnp.asarray(sk_np),
+            jnp.asarray(share_np), jnp.asarray(err_np)), gold
+
+
+def run_pipeline(parms, pipe, encode_mode, B, iters, rng, device,
+                 dd_too=False):
+    """One pipeline config -> result line dict (not yet printed)."""
+    import jax.numpy as jnp
+    degree, nprimes = parms.degree, parms.nprimes
+    per_chip_target = 100_000 / 8  # v5e-8 north star split per chip
+
+    args, gold = _pipeline_inputs(parms, B, rng, encode_mode, pipe)
 
     if pipe == "fused":
         from seal_embedded_tpu.ckks.fast import make_fused_encryptor
         fn = make_fused_encryptor(parms, encode_mode)
-        args = (values, sk, share, err)
         metric = f"sym_encrypt_n{degree}_p{nprimes}_throughput"
     elif pipe == "limbwise":
         from seal_embedded_tpu.ckks.limbwise import make_limbscan_encryptor
         fn = make_limbscan_encryptor(parms, "reference", encode_mode)
-        args = (values, sk, share, err)
         metric = f"sym_encrypt_n{degree}_p{nprimes}_throughput"
     elif pipe == "asym":
         from seal_embedded_tpu.ckks.asym import (gen_pk_batch,
                                                  make_fused_asym_encryptor)
-        ep = jnp.asarray(rng.integers(-20, 21, n).astype(np.int32))
+        values, sk, share, err = args
+        ep = jnp.asarray(rng.integers(-20, 21, degree).astype(np.int32))
         pk0, pk1 = gen_pk_batch(
             sk, jnp.asarray(rng.integers(0, 2 ** 32, (1, 16))
                             .astype(np.uint32)), ep, parms)
         fn = make_fused_asym_encryptor(parms, encode_mode)
         args = (values, pk0, pk1, share)
+        gold = None
         metric = f"asym_encrypt_n{degree}_p{nprimes}_throughput"
     else:
         raise SystemExit(f"unknown BENCH_PIPE {pipe!r}")
@@ -141,14 +145,10 @@ def main():
         "encode": encode_mode,
         "device": device,
     }
-
     if gold is not None:
         extra["verify"] = _check_golden(out, gold, parms)
 
-    # The decode-exact fast path, measured alongside (same graph shape,
-    # dd encode instead of sf).
-    if (os.environ.get("BENCH_DD_TOO", "1") == "1" and pipe == "fused"
-            and encode_mode != "dd"):
+    if dd_too and pipe == "fused" and encode_mode != "dd":
         from seal_embedded_tpu.ckks.fast import make_fused_encryptor
         fn_dd = make_fused_encryptor(parms, "dd")
         avg_dd, compile_dd, out_dd = _time(fn_dd, args, iters)
@@ -157,13 +157,70 @@ def main():
         extra["dd_avg_ms"] = round(avg_dd * 1000, 2)
         extra["dd_compile_s"] = round(compile_dd, 1)
 
-    print(json.dumps({
-        "metric": metric,
-        "value": round(enc_per_s, 1),
-        "unit": "enc/s/chip",
-        "vs_baseline": round(enc_per_s / per_chip_target, 3),
-        "extra": extra,
-    }))
+    return {"metric": metric, "value": round(enc_per_s, 1),
+            "unit": "enc/s/chip",
+            "vs_baseline": round(enc_per_s / per_chip_target, 3),
+            "extra": extra}
+
+
+def main():
+    import jax
+    import seal_embedded_tpu  # noqa: F401  (x64 + compile cache)
+    from seal_embedded_tpu.config import default_parms
+
+    B = int(os.environ.get("BENCH_B", "512"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    degree = int(os.environ.get("BENCH_DEGREE", "4096"))
+    nprimes = int(os.environ.get("BENCH_NPRIMES", "3"))
+    pipe = os.environ.get("BENCH_PIPE", "fused")
+    encode_mode = os.environ.get("BENCH_ENCODE", "sf")
+    what = os.environ.get("BENCH_WHAT", "all")
+
+    rng = np.random.default_rng(0)
+    device = str(jax.devices()[0])
+
+    if what == "all":
+        _all(B, iters, rng, device)
+        return
+    parms = default_parms(degree, nprimes)
+    if what == "verify":
+        _verify_only(parms, device)
+    elif what == "pipeline":
+        line = run_pipeline(parms, pipe, encode_mode, B, iters, rng, device,
+                            dd_too=os.environ.get("BENCH_DD_TOO", "1") == "1")
+        print(json.dumps(line), flush=True)
+    else:
+        _component(what, parms, B, iters, rng, device)
+
+
+def _all(B, iters, rng, device):
+    """The full tracked matrix (BASELINE.md): component kernels with
+    roofline context, asym + deep-chain pipelines, headline LAST."""
+    from seal_embedded_tpu.config import default_parms
+
+    deep = os.environ.get("BENCH_DEEP", "1") == "1"
+    p4096 = default_parms(4096, 3)
+    matrix = {}
+
+    for what in ("ntt", "keccak", "encode", "sample", "index_map"):
+        line = _component(what, p4096, B, iters, rng, device)
+        matrix[line["metric"]] = line["value"]
+
+    asym = run_pipeline(p4096, "asym", "sf", B, iters, rng, device)
+    _emit(**asym)
+    matrix[asym["metric"]] = asym["value"]
+
+    if deep:
+        for n, L, Bd in ((8192, 6, 256), (16384, 13, 128)):
+            line = run_pipeline(default_parms(n, L), "fused", "sf", Bd,
+                                max(3, iters // 2), rng, device, dd_too=True)
+            _emit(**line)
+            matrix[line["metric"]] = line["value"]
+
+    head = run_pipeline(p4096, "fused", "sf", B, iters, rng, device,
+                        dd_too=True)
+    head["extra"]["matrix"] = matrix
+    _emit(**head)
 
 
 def _load_golden(parms):
@@ -225,18 +282,14 @@ def _verify_only(parms, device):
     out = fn(jnp.asarray(gold["v"]), jnp.asarray(gold["sk_signed"]),
              jnp.asarray(gold["share_words"]), jnp.asarray(gold["err_words"]))
     marker = _check_golden(out, gold, parms)
-    print(json.dumps({
-        "metric": f"golden_verify_n{parms.degree}_p{parms.nprimes}",
-        "value": 1.0,
-        "unit": "bitexact",
-        "vs_baseline": 1.0,
-        "extra": {"verify": marker, "device": device},
-    }))
+    _emit(f"golden_verify_n{parms.degree}_p{parms.nprimes}", 1.0, "bitexact",
+          1.0, {"verify": marker, "device": device})
 
 
 def _component(what, parms, B, iters, rng, device):
     """Component benchmarks, mirroring the reference's bench suite
-    (device/bench/bench_{ntt,sample,ifft}.c)."""
+    (device/bench/bench_{ntt,sample,ifft,index_map}.c), each with its
+    speed-of-light context where the op count is pinned."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -253,61 +306,77 @@ def _component(what, parms, B, iters, rng, device):
         avg_s, compile_s, _ = _time(fn, (x,), iters)
         logn = n.bit_length() - 1
         bflys = L * B * (n // 2) * logn / avg_s
-        print(json.dumps({
-            "metric": f"ntt_n{n}_butterflies_per_s",
-            "value": round(bflys / 1e9, 2),
-            "unit": "Gbfly/s",
-            "vs_baseline": round(avg_s * 1000, 3),
-            "extra": {"avg_ms": round(avg_s * 1000, 3), "L": L, "B": B,
-                      "compile_s": round(compile_s, 1), "device": device},
-        }))
-    elif what == "keccak":
+        sol = VPU_OPS_PER_S / NTT_OPS_PER_BFLY
+        return _emit(
+            f"ntt_n{n}_butterflies_per_s", bflys / 1e9, "Gbfly/s",
+            avg_s * 1000,
+            {"avg_ms": round(avg_s * 1000, 3), "L": L, "B": B,
+             "compile_s": round(compile_s, 1), "device": device,
+             "sol_gbfly_per_s": round(sol / 1e9, 1),
+             "sol_frac": round(bflys / sol, 3)})
+    if what == "keccak":
         from seal_embedded_tpu.ops.keccak import shake256_words
-        share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
-        ctr = jnp.zeros((B, 2), jnp.uint32)
+        Bk = max(B, 1024)  # full 1024-stream tiles
+        share = jnp.asarray(rng.integers(0, 2 ** 32, (Bk, 16))
+                            .astype(np.uint32))
+        ctr = jnp.zeros((Bk, 2), jnp.uint32)
         nblocks = -(-4 * n // 136)
         fn = jax.jit(partial(shake256_words, nblocks=nblocks))
         avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
-        perms = B * nblocks / avg_s
-        print(json.dumps({
-            "metric": "keccakf1600_perms_per_s",
-            "value": round(perms / 1e6, 2),
-            "unit": "Mperm/s",
-            "vs_baseline": round(avg_s * 1000, 3),
-            "extra": {"avg_ms": round(avg_s * 1000, 3), "B": B,
-                      "nblocks": nblocks, "compile_s": round(compile_s, 1),
-                      "device": device},
-        }))
-    elif what == "encode":
+        perms = Bk * nblocks / avg_s
+        sol = VPU_OPS_PER_S / 10.3e3 * 1024  # perms/s at full tiles
+        return _emit(
+            "keccakf1600_perms_per_s", perms / 1e6, "Mperm/s",
+            avg_s * 1000,
+            {"avg_ms": round(avg_s * 1000, 3), "B": Bk, "nblocks": nblocks,
+             "compile_s": round(compile_s, 1), "device": device,
+             "sol_mperm_per_s": round(sol / 1e6, 1),
+             "sol_frac": round(perms / sol, 3)})
+    if what == "encode":
         from seal_embedded_tpu.ops.encode import encode_any
-        values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
-        mode = os.environ.get("BENCH_ENCODE", "dd")
+        values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2))
+                             .astype(np.float32))
+        mode = os.environ.get("BENCH_ENCODE", "sf")
         fn = jax.jit(partial(encode_any, parms=parms, mode=mode))
         avg_s, compile_s, _ = _time(fn, (values,), iters)
-        print(json.dumps({
-            "metric": f"encode_{mode}_n{n}_per_s",
-            "value": round(B / avg_s, 1),
-            "unit": "encode/s",
-            "vs_baseline": round(avg_s * 1000, 3),
-            "extra": {"avg_ms": round(avg_s * 1000, 3), "B": B,
-                      "compile_s": round(compile_s, 1), "device": device},
-        }))
-    elif what == "sample":
+        extra = {"avg_ms": round(avg_s * 1000, 3), "B": B,
+                 "compile_s": round(compile_s, 1), "device": device}
+        if mode != "dd":
+            fn_dd = jax.jit(partial(encode_any, parms=parms, mode="dd"))
+            avg_dd, _, _ = _time(fn_dd, (values,), iters)
+            extra["dd_encode_per_s"] = round(B / avg_dd, 1)
+        return _emit(f"encode_{mode}_n{n}_per_s", B / avg_s, "encode/s",
+                     avg_s * 1000, extra)
+    if what == "sample":
         from seal_embedded_tpu.ops import sampling as sp
-        share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16)).astype(np.uint32))
+        share = jnp.asarray(rng.integers(0, 2 ** 32, (B, 16))
+                            .astype(np.uint32))
         ctr = jnp.zeros((B, 2), jnp.uint32)
         fn = jax.jit(partial(sp.sample_uniform, n=n, q=moduli[0]))
         avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
-        print(json.dumps({
-            "metric": f"sample_uniform_n{n}_per_s",
-            "value": round(B / avg_s, 1),
-            "unit": "poly/s",
-            "vs_baseline": round(avg_s * 1000, 3),
-            "extra": {"avg_ms": round(avg_s * 1000, 3), "B": B,
-                      "compile_s": round(compile_s, 1), "device": device},
-        }))
-    else:
-        raise SystemExit(f"unknown BENCH_WHAT {what!r}")
+        return _emit(
+            f"sample_uniform_n{n}_per_s", B / avg_s, "poly/s",
+            avg_s * 1000,
+            {"avg_ms": round(avg_s * 1000, 3), "B": B,
+             "compile_s": round(compile_s, 1), "device": device})
+    if what == "index_map":
+        # bench_index_map.c analog: time the index-map computation itself
+        # (gen-3 orbit merged with bitrev, ckks_common.c:32-68).  Host-side
+        # by design — the map is a trace-time constant folded into the
+        # placement gather, computed once per degree and cached.
+        from seal_embedded_tpu.golden.encode import calc_index_map
+        logn = n.bit_length() - 1
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            imap = calc_index_map(n, logn)
+        avg_s = (time.time() - t0) / reps
+        assert imap.shape == (n,)
+        return _emit(
+            f"index_map_n{n}_per_s", 1.0 / avg_s, "maps/s", avg_s * 1000,
+            {"avg_ms": round(avg_s * 1000, 3), "where": "host",
+             "device": device})
+    raise SystemExit(f"unknown BENCH_WHAT {what!r}")
 
 
 if __name__ == "__main__":

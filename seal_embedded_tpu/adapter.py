@@ -245,7 +245,27 @@ def main(argv=None):
     v.add_argument("--nprimes", type=int, default=3)
     v.add_argument("--values", default=None)
 
+    sub.add_parser(
+        "verify-seal",
+        help="diff SEAL-stream serialization against a live Microsoft "
+             "SEAL build (UNAVAILABLE offline — explicit TODO)")
+
     args = p.parse_args(argv)
+    if args.cmd == "verify-seal":
+        print(
+            "verify-seal: NOT AVAILABLE in this environment.\n"
+            "The io.sealstream writers are implemented field-for-field "
+            "from the Microsoft SEAL 3.7.2 sources (serialization.h, "
+            "ciphertext.cpp save/load members; see io/sealstream.py "
+            "header) and round-trip structurally in "
+            "tests/test_sealstream.py, but they have never been diffed "
+            "against a LIVE SEAL binary: SEAL cannot be built offline "
+            "(the reference adapter FetchContents it from GitHub; this "
+            "environment has no egress).  When a vendored SEAL appears, "
+            "wire it here: load the framework's .seal streams with "
+            "SEALContext/Ciphertext::load and decrypt "
+            "(adapter/adapter.cpp:32-169 is the recipe).")
+        return 2
     if args.cmd == "generate":
         sk_seed = bytes.fromhex(args.sk_seed) if args.sk_seed else None
         pk_seed = bytes.fromhex(args.pk_seed) if args.pk_seed else None

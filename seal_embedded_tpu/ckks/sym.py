@@ -28,7 +28,7 @@ from ..ops import keccak as kc
 from ..ops import modarith as ma
 from ..ops import sampling as sp
 from ..ops.encode import encode
-from ..ops.ntt import ntt
+from ..ops.ntt import ntt, ntt_otf
 
 
 def _ntt_s_for_prime(sk_signed, q: int):
@@ -38,20 +38,28 @@ def _ntt_s_for_prime(sk_signed, q: int):
 
 
 def sym_encrypt_batch(values, sk_signed, share_seed_words, err_seed_words,
-                      parms: Parms):
+                      parms: Parms, ntt_variant: str = "table",
+                      root_tables=None, imap=None):
     """Full batched symmetric encode+encrypt.
 
     values:            f32 (B, <= n/2)
     sk_signed:         i32 (n,) ternary secret key in {-1, 0, 1}
     share_seed_words:  u32 (B, 16) per-message shareable seeds
     err_seed_words:    u32 (B, 16) per-message error seeds
+    ntt_variant:       "table" (precomputed Shoup tables, SE_NTT_TYPE 2/3
+                       analog) or "otf" (roots synthesized in-graph,
+                       SE_NTT_TYPE 0/1 analog — value-identical cts)
+    root_tables/imap:  optional LOADED ifft root tables / index map
+                       (SE_IFFT_LOAD_FULL / SE_INDEX_MAP_LOAD data paths,
+                       fileops.c:208-255), forwarded to encode()
     Returns dict with c0, c1: u32 (nprimes, B, n), pt, pte: i64 (B, n),
     ok: bool (B,).
     """
     B = values.shape[0]
     n = parms.degree
+    do_ntt = {"table": ntt, "otf": ntt_otf}[ntt_variant]
 
-    pt, ok_encode = encode(values, parms)
+    pt, ok_encode = encode(values, parms, root_tables=root_tables, imap=imap)
 
     err_counter = sp.counter_zero((B,))
     e, _ = sp.sample_cbd(err_seed_words, err_counter, n)
@@ -63,11 +71,12 @@ def sym_encrypt_batch(values, sk_signed, share_seed_words, err_seed_words,
     for q in parms.moduli:
         a, share_counter, ok_u = sp.sample_uniform(
             share_seed_words, share_counter, n, q)
-        ntt_s = _ntt_s_for_prime(sk_signed, q)          # (n,)
+        s_modq = sp.ternary_to_modq(sk_signed, q)
+        ntt_s = do_ntt(s_modq, q)                       # (n,)
         as_ = ma.mul_mod(a, ntt_s[None, :], q)          # a * ntt(s)
         c0 = ma.neg_mod(as_, q)
         pte_red = ma.reduce_pte_i64(pte, q)
-        ntt_pte = ntt(pte_red, q)
+        ntt_pte = do_ntt(pte_red, q)
         c0 = ma.add_mod(c0, ntt_pte, q)
         c0_list.append(c0)
         c1_list.append(a)

@@ -101,18 +101,21 @@ def fft_root_tables(n: int) -> tuple[tuple[np.ndarray, np.ndarray], ...]:
     return tuple(out)
 
 
-def encode(values, parms: Parms, root_tables=None):
+def encode(values, parms: Parms, root_tables=None, imap=None):
     """values f32 (..., <= n/2) -> conj_vals_int int64 (..., n).
 
     Bit-exact to ckks_encode_base on IEEE-f64 backends (CPU); decode-exact
     on TPU.  root_tables: optional per-round IFFT tables (e.g. from
-    ifft_root_tables_from_file — the SE_IFFT_LOAD_FULL path); defaults to
-    the computed tables.
+    ifft_root_tables_from_file — the SE_IFFT_LOAD_FULL path); imap:
+    optional loaded index map (io.serialize.read_index_map — the
+    SE_INDEX_MAP_LOAD path, fileops.c:208-225).  Both default to the
+    computed equivalents (bit-identical; asserted in tests).
     """
     n, logn = parms.degree, parms.logn
     batch_shape = values.shape[:-1]
     vlen = values.shape[-1]
-    imap = index_map_np(n)
+    if imap is None:
+        imap = index_map_np(n)
 
     v = values.astype(jnp.float64)
     re = jnp.zeros(batch_shape + (n,), jnp.float64)
@@ -339,19 +342,33 @@ def encode_sf(values, parms: Parms):
     return coeff[..., inv], ok
 
 
+def sf_impl() -> str:
+    """Implementation behind the bit-exact 'sf' mode: the fused Pallas
+    kernel on TPU (ops/kernels/encode2.py — same bits, ~25% faster and a
+    20x smaller XLA graph), the jnp Pease-scan path elsewhere.  Override
+    with SEAL_TPU_ENCODE=jnp|kernel (forcing "kernel" off-TPU runs the
+    Pallas kernel in interpret mode)."""
+    import os
+    forced = os.environ.get("SEAL_TPU_ENCODE")
+    if forced in ("jnp", "kernel"):
+        return forced
+    return "kernel" if jax.default_backend() == "tpu" else "jnp"
+
+
 def encode_any(values, parms: Parms, mode: str = "dd"):
     """Dispatch between encode precisions: 'f64' (bit-exact on IEEE
     backends, emulated+slow+inexact on TPU), 'dd' (TPU-fast,
-    decode-exact), 'sf' (software IEEE f64 — bit-exact everywhere)."""
+    decode-exact), 'sf' (software IEEE f64 — bit-exact everywhere;
+    Pallas kernel on TPU, jnp elsewhere, see sf_impl)."""
     if mode == "f64":
         return encode(values, parms)
     if mode == "dd":
         return encode_dd(values, parms)
     if mode == "sf":
+        if sf_impl() == "kernel":
+            from .kernels.encode2 import encode_sf_fused
+            return encode_sf_fused(values, parms)
         return encode_sf(values, parms)
-    if mode == "sfk":   # Pallas blocked kernel (bit-exact; see its module
-        from .kernels.encode import encode_sf_blocked  # docstring re perf)
-        return encode_sf_blocked(values, parms)
     raise ValueError(f"unknown encode mode {mode!r}")
 
 

@@ -174,16 +174,17 @@ def _kernel(seed_ref, ctr_ref, out_ref, st_ref, *, nchunk: int):
 @lru_cache(maxsize=8)
 def _squeeze_call(ntiles: int, nblocks: int, interpret: bool):
     _0 = np.int32(0)
-    nchunks = -(-nblocks // CHUNK)
-    last = nblocks - (nchunks - 1) * CHUNK
+    chunk = min(CHUNK, nblocks)  # 1-block calls must not write 16x padding
+    nchunks = -(-nblocks // chunk)
+    last = nblocks - (nchunks - 1) * chunk
 
     def kern(seed_ref, ctr_ref, out_ref, st_ref):
-        if last == CHUNK:
-            _kernel(seed_ref, ctr_ref, out_ref, st_ref, nchunk=CHUNK)
+        if last == chunk:
+            _kernel(seed_ref, ctr_ref, out_ref, st_ref, nchunk=chunk)
         else:
             @pl.when(pl.program_id(1) < nchunks - 1)
             def _():
-                _kernel(seed_ref, ctr_ref, out_ref, st_ref, nchunk=CHUNK)
+                _kernel(seed_ref, ctr_ref, out_ref, st_ref, nchunk=chunk)
 
             @pl.when(pl.program_id(1) == nchunks - 1)
             def _():
@@ -196,10 +197,10 @@ def _squeeze_call(ntiles: int, nblocks: int, interpret: bool):
             pl.BlockSpec((1, 16, _TSUB, _TLANE), lambda t, j: (t, _0, _0, _0)),
             pl.BlockSpec((1, 2, _TSUB, _TLANE), lambda t, j: (t, _0, _0, _0)),
         ],
-        out_specs=pl.BlockSpec((1, CHUNK * 34, _TSUB, _TLANE),
+        out_specs=pl.BlockSpec((1, chunk * 34, _TSUB, _TLANE),
                                lambda t, j: (t, j, _0, _0)),
         out_shape=jax.ShapeDtypeStruct(
-            (ntiles, nchunks * CHUNK * 34, _TSUB, _TLANE), jnp.uint32),
+            (ntiles, nchunks * chunk * 34, _TSUB, _TLANE), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32)],
         interpret=interpret,
     )

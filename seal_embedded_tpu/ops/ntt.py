@@ -123,6 +123,66 @@ def intt(x, q: int):
     return v.astype(U32)
 
 
+@lru_cache(maxsize=64)
+def _gen_powers(n: int, q: int) -> tuple:
+    """The logn generator squarings w^(2^b) mod q (host scalars) plus the
+    static bitrev gather — the ONLY precomputed state of the OTF mode."""
+    logn = n.bit_length() - 1
+    w = find_ntt_root(n, q)
+    sq = tuple(pow(w, 1 << b, q) for b in range(logn))
+    brv = np.array([bitrev(i, logn) for i in range(n)], dtype=np.int32)
+    return sq, brv
+
+
+def ntt_roots_ingraph(n: int, q: int):
+    """Synthesize the bitrev-indexed root vector IN-GRAPH from the logn
+    generator squarings — the OTF/compute capability axis of the
+    reference (SE_NTT_TYPE 0/1: ntt.c:144-149 computes each group root
+    by exponentiate_uint_mod_bitrev, ntt.c:40-52 computes the table once;
+    here the whole table is built per call by log-depth doubling, the
+    batched equivalent of the same square chain).
+
+    Memory trade-off vs table mode: nothing (n,)-sized persists in HBM —
+    only logn scalar constants enter the graph; the table is transient
+    per call.  At n=16384/L=13 that releases ~3.4 MB of HBM-resident
+    forward tables (SURVEY.md S5 memory/HBM option space)."""
+    from .modarith import mul_mod
+    sq, brv = _gen_powers(n, q)
+    pows = jnp.ones((1,), U32)
+    for wb in sq:  # pows_{b+1} = [pows_b, pows_b * w^(2^b)]
+        pows = jnp.concatenate([pows, mul_mod(pows, jnp.uint32(wb), q)])
+    return pows[jnp.asarray(brv)]
+
+
+def ntt_otf(x, q: int):
+    """Forward negacyclic NTT with on-the-fly roots (SE_NTT_TYPE 0
+    analog): no precomputed Shoup tables — roots synthesized in-graph
+    (ntt_roots_ingraph) and butterflies in the reference's NON-lazy form
+    (plain Barrett mul_mod + canonical add/sub per stage,
+    ntt.c:124-165), exactly the arithmetic the reference's OTF mode uses
+    (no quotient table exists to be lazy with).
+
+    Output is value-identical to ntt() — same canonical [0, q) scrambled
+    NTT (asserted in tests/test_ops.py)."""
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    op = ntt_roots_ingraph(n, q)
+    batch_shape = x.shape[:-1]
+    v = x.astype(U32)
+
+    from .modarith import add_mod, mul_mod, sub_mod
+    h, tt = 1, n // 2
+    for _ in range(logn):
+        v = v.reshape(batch_shape + (h, 2, tt))
+        u = v[..., 0, :]
+        w_ = v[..., 1, :]
+        s = op[h:2 * h].reshape((1,) * len(batch_shape) + (h, 1))
+        t = mul_mod(w_, s, q)
+        v = jnp.stack([add_mod(u, t, q), sub_mod(u, t, q)], axis=-2)
+        h, tt = h * 2, tt // 2
+    return v.reshape(batch_shape + (n,)).astype(U32)
+
+
 def pointwise_mul_mod(a, b, q):
     """NTT-domain multiply = coefficient-wise mul mod q (ntt.h:66-85)."""
     from .modarith import mul_mod

@@ -145,6 +145,38 @@ def run_sweep(degree: int = 512, batch: int = 4, quick: bool = False):
                     and (enc == "sf" or (enc == "f64" and ieee_backend)))
         record(f"stream order={order} encode={enc}", c0, c1, ok, bitexact)
 
+    # OTF-roots NTT (SE_NTT_TYPE 0/1 analog, ntt.c:40-52,144-149): roots
+    # synthesized in-graph, non-lazy Barrett butterflies — ciphertexts
+    # must be bit-identical to table mode (same values mod q, canonical).
+    from seal_embedded_tpu.ckks.sym import sym_encrypt_batch
+    out = jax.jit(partial(sym_encrypt_batch, parms=parms,
+                          ntt_variant="otf"))(values, sk, share, err)
+    bitexact = ieee_backend  # encode=f64 inside sym_encrypt_batch
+    record("batch ntt=otf encode=f64", np.asarray(out["c0"]),
+           np.asarray(out["c1"]), bool(np.asarray(out["ok"]).all()),
+           bitexact)
+
+    # Loaded-table data path (SE_INDEX_MAP_LOAD + SE_IFFT_LOAD_FULL,
+    # fileops.c:208-255): write the adapter-format index map and ifft
+    # root files, read them back, and run the pipeline CONSUMING them.
+    import tempfile
+    from seal_embedded_tpu.io import serialize
+    from seal_embedded_tpu.ops.encode import (ifft_root_tables_from_file,
+                                              index_map_np)
+    with tempfile.TemporaryDirectory() as d:
+        imap_path = os.path.join(d, f"index_map_{n}.dat")
+        roots_path = os.path.join(d, f"ifft_roots_{n}.dat")
+        serialize.write_index_map(imap_path, index_map_np(n))
+        serialize.write_ifft_roots(roots_path, n, n.bit_length() - 1)
+        imap = serialize.read_index_map(imap_path, n).astype(np.int32)
+        tables = ifft_root_tables_from_file(roots_path, n)
+    out = jax.jit(partial(sym_encrypt_batch, parms=parms,
+                          root_tables=tables, imap=imap))(
+        values, sk, share, err)
+    record("batch data=loaded(index_map,ifft_roots) encode=f64",
+           np.asarray(out["c0"]), np.asarray(out["c1"]),
+           bool(np.asarray(out["ok"]).all()), ieee_backend)
+
     failed = [name for name, passed, _, _ in results if not passed]
     print(f"\n{len(results) - len(failed)}/{len(results)} configs passed"
           + (f"; FAILED: {failed}" if failed else ""))

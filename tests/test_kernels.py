@@ -168,22 +168,50 @@ def test_fused_pipeline_ntt_kernel_forced_golden(golden_sym, monkeypatch):
             assert np.array_equal(c1[i, b], t["c1"][i]), f"c1 t{b} p{i}"
 
 
-@pytest.mark.parametrize("n", [256, 4096])
+@pytest.mark.parametrize("n", [256, 1024])
 def test_encode_kernel_bit_exact_vs_sf(n):
-    """Pallas blocked encode (interpret mode off-TPU) == encode_sf, bit
-    for bit, including the ok/guard flag."""
+    """Fused Pallas encode (interpret mode off-TPU) == encode_sf, bit
+    for bit, including the ok/guard flag.  (encode_sf is itself anchored
+    to the C-reference golden vectors; the same kernel is additionally
+    golden-verified compiled on a real chip by bench.py's verify step.)"""
     from functools import partial
-    from seal_embedded_tpu.config import Parms, PRIMES_27BIT, default_parms
+    from seal_embedded_tpu.config import Parms, PRIMES_27BIT
     from seal_embedded_tpu.ops.encode import encode_sf
-    from seal_embedded_tpu.ops.kernels.encode import encode_sf_blocked
+    from seal_embedded_tpu.ops.kernels.encode2 import encode_sf_fused
 
-    parms = (default_parms(n, 3) if n >= 4096
-             else Parms(degree=n, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20))
+    parms = Parms(degree=n, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20)
     rng = np.random.default_rng(n)
     values = rng.uniform(-1, 1, (4, n // 2)).astype(np.float32)
     values[0, :4] = [0.0, -0.0, 1e-44, -1e-38]   # zero / f32-subnormal rows
     v = jnp.asarray(values)
     want, ok_w = jax.jit(partial(encode_sf, parms=parms))(v)
-    got, ok_g = jax.jit(partial(encode_sf_blocked, parms=parms))(v)
+    got, ok_g = jax.jit(partial(encode_sf_fused, parms=parms))(v)
     assert bool(np.asarray(ok_w).all()) and bool(np.asarray(ok_g).all())
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_encode_kernel_round0_specialization():
+    """The fused kernel's collapsed round-0 butterfly (real inputs, im=+0)
+    must reproduce the generic path's signed-zero folds bit-for-bit: craft
+    inputs dense in +/-0 so adjacent IFFT positions hit dre = +/-0 against
+    twiddles of every sign combination."""
+    from functools import partial
+    from seal_embedded_tpu.config import Parms, PRIMES_27BIT
+    from seal_embedded_tpu.ops.encode import encode_sf
+    from seal_embedded_tpu.ops.kernels.encode2 import encode_sf_fused
+
+    n = 256
+    parms = Parms(degree=n, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20)
+    rng = np.random.default_rng(17)
+    vals = rng.uniform(-1, 1, (8, n // 2)).astype(np.float32)
+    # rows 0-5: mixtures of +0/-0/tiny with increasing zero density
+    for b, pz in enumerate([1.0, 1.0, 0.9, 0.75, 0.5, 0.25]):
+        mask = rng.random(n // 2) < pz
+        zs = np.where(rng.random(n // 2) < 0.5, 0.0, -0.0).astype(np.float32)
+        vals[b] = np.where(mask, zs, vals[b])
+    vals[1] = -0.0  # all negative zeros
+    v = jnp.asarray(vals)
+    want, ok_w = jax.jit(partial(encode_sf, parms=parms))(v)
+    got, ok_g = jax.jit(partial(encode_sf_fused, parms=parms))(v)
+    assert np.array_equal(np.asarray(ok_w), np.asarray(ok_g))
     assert np.array_equal(np.asarray(got), np.asarray(want))

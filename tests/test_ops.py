@@ -179,3 +179,18 @@ def test_reseed_on_overflow():
     assert np.asarray(s2)[1].tolist() == list(range(16, 32))
     assert np.asarray(c2)[0].tolist() == [0, 0]
     assert np.asarray(c2)[1].tolist() == [9, 0]
+
+
+def test_ntt_otf_matches_table_mode():
+    """OTF-roots NTT (in-graph root synthesis + non-lazy Barrett
+    butterflies, SE_NTT_TYPE 0 analog ntt.c:124-165) is value-identical
+    to the table-mode NTT."""
+    from seal_embedded_tpu.ops.ntt import ntt, ntt_otf
+    from seal_embedded_tpu.config import PRIMES_30BIT
+
+    rng = np.random.default_rng(21)
+    for n, q in ((512, Q), (4096, PRIMES_30BIT[0])):
+        x = jnp.asarray(rng.integers(0, q, (3, n)).astype(np.uint32))
+        got = np.asarray(jax.jit(partial(ntt_otf, q=q))(x))
+        want = np.asarray(jax.jit(partial(ntt, q=q))(x))
+        assert np.array_equal(got, want), (n, q)
