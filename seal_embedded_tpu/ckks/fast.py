@@ -93,12 +93,13 @@ def sym_encrypt_fused(values, sk_signed, share_words, err_words,
     moduli = tuple(int(q) for q in parms.moduli)
 
     # --- encode + error (ckks_encode_base + ckks_sym_init) ---
+    # (A variant feeding the sf kernel's u32 pair outputs directly into
+    # the pair-based reduce_pte measured 1.2 ms SLOWER at B=512 than this
+    # i64 round-trip — XLA fuses the i64 form better; keep it.)
+    mods_b = _mods_bcast(parms)
     pt, ok_encode = encode_any(values, parms, encode_mode)
     e, _ = sp.sample_cbd(err_words, sp.counter_zero((B,)), n)
     pte = pt + e.astype(jnp.int64)
-
-    # --- all-limb NTT(pte): reduce mod each q, one Pallas call ---
-    mods_b = _mods_bcast(parms)
     pte_red = ma.reduce_pte_i64(pte[None], mods_b)          # (L, B, n) u32
     ntt_pte = _ntt_all_limbs(pte_red, moduli)               # (L, B, n)
 

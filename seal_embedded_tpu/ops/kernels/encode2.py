@@ -529,11 +529,18 @@ def _ninv_planes(scale: float, n: int):
             np.uint32(p.mlo))
 
 
-def encode_sf_fused(values, parms, interpret: bool | None = None):
+def encode_sf_fused(values, parms, interpret: bool | None = None,
+                    pair_out: bool = False):
     """Bit-exact encode via the two-phase Pallas kernels (drop-in for
     ops.encode.encode_sf; asserted equal in tests/test_kernels.py).
 
-    values f32 (B, <= n/2) -> (conj_vals_int i64 (B, n), ok (B,))."""
+    values f32 (B, <= n/2) -> (conj_vals_int i64 (B, n), ok (B,)), or
+    with pair_out=True the raw two's-complement u32 pair planes
+    ((lo, hi) each (B, n), ok).  (Feeding these straight into a
+    pair-based reduce_pte measured 1.2 ms SLOWER than the i64 round-trip
+    at B=512 on v5e — XLA fuses the i64 form better — so the pipelines
+    use the i64 interface; pair_out remains for future in-kernel
+    consumers.)"""
     from ..encode import index_map_np
     from ..f64x import safe_e_floor
 
@@ -554,9 +561,11 @@ def encode_sf_fused(values, parms, interpret: bool | None = None):
 
     lo, hi, okp, accp = _encode_call(n, bpad, interpret)(
         re0, _ninv_planes(parms.scale, n))
+    floor = jnp.int32(safe_e_floor())
+    ok = (okp.min(axis=-1) == 1) & (accp.min(axis=-1) >= floor)
+    if pair_out:
+        return (lo[:B], hi[:B]), ok[:B]
     coeff = jax.lax.bitcast_convert_type(
         hi.astype(jnp.uint64) << jnp.uint64(32) | lo.astype(jnp.uint64),
         jnp.int64)
-    floor = jnp.int32(safe_e_floor())
-    ok = (okp.min(axis=-1) == 1) & (accp.min(axis=-1) >= floor)
     return coeff[:B], ok[:B]
