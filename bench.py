@@ -21,8 +21,9 @@ tunnel's device-to-host bandwidth instead of the kernels).
 Config via env:
   BENCH_WHAT     all | pipeline | ntt | keccak | encode | sample |
                  index_map | verify        (default all)
-  BENCH_B        batch for single-config modes (default 512 — measured
-                 v5e sweet spot for the n=4096 pipelines)
+  BENCH_B        batch for single-config modes (default 1024 — measured
+                 v5e sweet spot: full 1024-stream Keccak tiles; 32.1k
+                 enc/s sf vs 30.2k at B=512)
   BENCH_ITERS    timed iterations (default 10)
   BENCH_DEGREE   polynomial degree (default 4096)
   BENCH_NPRIMES  RNS chain length (default 3)
@@ -168,7 +169,7 @@ def main():
     import seal_embedded_tpu  # noqa: F401  (x64 + compile cache)
     from seal_embedded_tpu.config import default_parms
 
-    B = int(os.environ.get("BENCH_B", "512"))
+    B = int(os.environ.get("BENCH_B", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     degree = int(os.environ.get("BENCH_DEGREE", "4096"))
     nprimes = int(os.environ.get("BENCH_NPRIMES", "3"))
@@ -211,7 +212,9 @@ def _all(B, iters, rng, device):
     matrix[asym["metric"]] = asym["value"]
 
     if deep:
-        for n, L, Bd in ((8192, 6, 256), (16384, 13, 128)):
+        # deep chains also at B=1024: smaller batches leave the Keccak
+        # squeeze tiles (1024 streams) 50-87% empty
+        for n, L, Bd in ((8192, 6, 1024), (16384, 13, 1024)):
             line = run_pipeline(default_parms(n, L), "fused", "sf", Bd,
                                 max(3, iters // 2), rng, device, dd_too=True)
             _emit(**line)

@@ -10,9 +10,13 @@ kernel re-designs the layout TPU-first:
   exactly one vector register, so a full permutation round runs entirely
   in registers;
 * the state lives in VMEM scratch (50, 8, 128) and persists across the
-  sequential ``nblocks`` grid dimension — counter-mode absorb happens once
+  sequential chunk grid dimension — counter-mode absorb happens once
   (72-byte seed||counter block, rng.h:78-84 construction), then each grid
-  step is one permutation + one 136-byte rate extraction;
+  step squeezes CHUNK=16 blocks under an in-kernel fori (one permutation
+  + one 136-byte rate extraction each): the ~25 us fixed per-grid-step
+  cost amortizes over 16 blocks instead of dominating long squeezes
+  (a 482-block squeeze now costs the same wall time 121 blocks did
+  with one block per step);
 * outputs are written word-major per block (34, 8, 128); the host-side
   wrapper makes one XLA transpose back to stream-major — a single HBM
   pass instead of per-op traffic.
@@ -72,12 +76,13 @@ def _permute(lo, hi):
     Scheduling note: pi and chi are fused per OUTPUT ROW — each theta'd
     lane is rotated exactly where its (single) chi consumer needs it, so
     old-generation lanes can die five at a time instead of all 50 staying
-    live behind a full b[25] intermediate.  Measured on v5e this is
-    throughput-neutral (~27-28 Mperm/s either way at T=1024): the kernel
-    is VPU issue-bound (~10.3k vector ops per permutation tile), not
-    spill-bound, so the remaining headroom is op-count reduction (e.g.
-    bit-interleaved rotations), which trades against per-block extraction
-    cost.  Same XOR/ROL dataflow as the plain form, bit-identical."""
+    live behind a full b[25] intermediate.  The kernel is VPU issue-bound
+    (~10.3k vector ops per permutation tile, ~11 us at full 1024-stream
+    tiles -> >90 Mperm/s productive once the per-grid-step cost is
+    chunk-amortized); the remaining headroom is op-count reduction (e.g.
+    bit-interleaved rotations — no win on TPU, where a u32 rotate is 3
+    ops either way).  Same XOR/ROL dataflow as the plain form,
+    bit-identical."""
     for rc in _RC:
         clo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20]
                for x in range(5)]

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .keccak import RATE_WORDS, shake256_words
 
@@ -132,6 +133,61 @@ def _scatter_last(target, idx, vals):
     return flat_t.reshape(target.shape)
 
 
+# Chunk width for the hierarchical rejected-position search: top_k cost
+# grows super-linearly in n (measured v5e, B=1024: 16.4 ms for
+# top_k(16384 -> 528) vs ~1.3 ms for top_k(4096 -> 160)), so wide rows
+# split into 4096-lane chunks with a per-chunk top_k and a prefix-offset
+# merge.  _CHUNK_K = 160 bounds per-chunk rejections at ~+8.7 sigma for
+# the 30-bit chains (E ~ 82 per 4096); overflow is detected per chunk
+# and surfaces in the ok flag like every other queue truncation.
+_CHUNK_N = 4096
+_CHUNK_K = 160
+
+
+def _rejected_positions(rejected, cap: int):
+    """Positions of the first `cap` rejected entries of each row, in
+    position order (value n where the rank is invalid).  Returns
+    (positions (..., cap) i32, num_rejected (...,), ok (...,)).
+
+    key = span - pos for rejected entries (all >= 1, strictly decreasing
+    in pos), 0 otherwise; top_k's descending keys = ascending positions.
+    (A cumsum + n-wide scatter formulation measures 3.6x SLOWER on TPU —
+    wide scatters into a cap-sized target lower poorly; keep top_k.)"""
+    n = rejected.shape[-1]
+    num_rejected = jnp.sum(rejected.astype(I32), axis=-1)
+    if n <= _CHUNK_N:
+        k = min(cap, n)
+        keys = jnp.where(rejected,
+                         n - jnp.arange(n, dtype=I32), jnp.zeros((), I32))
+        topv, _ = jax.lax.top_k(keys, k)
+        pos = n - topv
+        if k < cap:
+            pos = jnp.concatenate(
+                [pos, jnp.full(pos.shape[:-1] + (cap - k,), n, I32)], -1)
+        return pos, num_rejected, jnp.ones(num_rejected.shape, bool)
+
+    nch = n // _CHUNK_N
+    rch = rejected.reshape(rejected.shape[:-1] + (nch, _CHUNK_N))
+    counts = jnp.sum(rch.astype(I32), axis=-1)            # (..., nch)
+    ok = jnp.all(counts <= _CHUNK_K, axis=-1)
+    span = jnp.arange(_CHUNK_N, dtype=I32)
+    keys = jnp.where(rch, _CHUNK_N - span, jnp.zeros((), I32))
+    topv, _ = jax.lax.top_k(keys, _CHUNK_K)               # (..., nch, K)
+    lpos = _CHUNK_N - topv                                # == _CHUNK_N invalid
+    cidx = jnp.arange(nch, dtype=I32)[:, None]
+    gpos = jnp.where(lpos == _CHUNK_N, jnp.int32(n),
+                     lpos + cidx * jnp.int32(_CHUNK_N))
+    # merge: chunk c's first counts[c] entries land at prefix offsets.
+    offs = jnp.cumsum(counts, axis=-1) - counts           # exclusive
+    rank = jnp.arange(_CHUNK_K, dtype=I32)
+    tgt = offs[..., None] + rank                          # (..., nch, K)
+    tgt = jnp.where(rank < counts[..., None], tgt, jnp.int32(cap))
+    out = jnp.full(rejected.shape[:-1] + (cap,), n, I32)
+    out = _scatter_last(out, tgt.reshape(tgt.shape[:-2] + (nch * _CHUNK_K,)),
+                        gpos.reshape(gpos.shape[:-2] + (nch * _CHUNK_K,)))
+    return out, num_rejected, ok
+
+
 def _rank_select(base_vals, rejected, queue_vals, queue_acc):
     """Queue equivalence core (gather-free, TPU-native).
 
@@ -171,17 +227,9 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
                            queue_vals.shape[:-1] + (cap,))
     accepted_pos = _scatter_last(jnp.zeros(out_shape, I32), idx, pos)
 
-    # Positions of the first CAP rejected base entries, in position order:
-    # key = n - pos for rejected entries (all >= 1, strictly decreasing in
-    # pos), 0 otherwise; top_k's descending keys = ascending positions, and
-    # zero keys (rank beyond num_rejected) map to position n => dropped.
-    # (A cumsum + n-wide scatter formulation measures 3.6x SLOWER on TPU —
-    # wide scatters into a cap-sized target lower poorly; keep top_k.)
-    num_rejected = jnp.sum(rejected.astype(I32), axis=-1)
-    keys = jnp.where(rejected,
-                     n - jnp.arange(n, dtype=I32), jnp.zeros((), I32))
-    topv, _ = jax.lax.top_k(keys, cap)
-    rej_pos = n - topv  # (..., cap); == n where rank invalid
+    # Positions of the first CAP rejected base entries, in position order
+    # (== n where the rank is invalid; ok covers every truncation).
+    rej_pos, num_rejected, ok_pos = _rejected_positions(rejected, cap)
 
     flat_b = base_vals.reshape(-1, n)
     flat_p = rej_pos.reshape(-1, cap)
@@ -195,7 +243,7 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
         accepted_pos, jnp.clip(num_rejected - 1, 0, cap - 1)[..., None], axis=-1
     )[..., 0]
     consumed = jnp.where(num_rejected > 0, last_pos + 1, 0)
-    ok = num_rejected <= num_accepted
+    ok = (num_rejected <= num_accepted) & ok_pos
     return final, consumed.astype(U32), ok
 
 
