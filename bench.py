@@ -213,10 +213,13 @@ def _all(B, iters, rng, device):
 
     if deep:
         # deep chains also at B=1024: smaller batches leave the Keccak
-        # squeeze tiles (1024 streams) 50-87% empty
+        # squeeze tiles (1024 streams) 50-87% empty.  No dd column here —
+        # encode is a tiny slice of deep-chain time (sf 385.6ms vs dd
+        # 375.8ms at n=16384) and the dd compile alone costs ~450s cold.
         for n, L, Bd in ((8192, 6, 1024), (16384, 13, 1024)):
             line = run_pipeline(default_parms(n, L), "fused", "sf", Bd,
-                                max(3, iters // 2), rng, device, dd_too=True)
+                                max(3, iters // 2), rng, device,
+                                dd_too=False)
             _emit(**line)
             matrix[line["metric"]] = line["value"]
 
@@ -327,14 +330,18 @@ def _component(what, parms, B, iters, rng, device):
         fn = jax.jit(partial(shake256_words, nblocks=nblocks))
         avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
         perms = Bk * nblocks / avg_s
-        sol = VPU_OPS_PER_S / 10.3e3 * 1024  # perms/s at full tiles
+        # 10.3k vreg-ops per 1024-stream tile-permutation
+        sol = VPU_OPS_PER_S / 10.3e3
         return _emit(
             "keccakf1600_perms_per_s", perms / 1e6, "Mperm/s",
             avg_s * 1000,
             {"avg_ms": round(avg_s * 1000, 3), "B": Bk, "nblocks": nblocks,
              "compile_s": round(compile_s, 1), "device": device,
              "sol_mperm_per_s": round(sol / 1e6, 1),
-             "sol_frac": round(perms / sol, 3)})
+             "sol_frac": round(perms / sol, 3),
+             "note": "sequential 121-block squeeze at one 1024-stream "
+                     "tile: latency-bound by the XOF block chain, not "
+                     "the parallel-perm roofline"})
     if what == "encode":
         from seal_embedded_tpu.ops.encode import encode_any
         values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2))

@@ -194,3 +194,12 @@ def test_ntt_otf_matches_table_mode():
         got = np.asarray(jax.jit(partial(ntt_otf, q=q))(x))
         want = np.asarray(jax.jit(partial(ntt, q=q))(x))
         assert np.array_equal(got, want), (n, q)
+
+
+def test_counter_from_int_u64():
+    c = sp.counter_from_int((3,), (7 << 32) | 5)
+    assert np.asarray(c).shape == (3, 2)
+    assert np.asarray(c)[0].tolist() == [5, 7]
+    # offsets carry across the boundary
+    nc = np.asarray(sp._c_add(c, jnp.uint32(0xFFFFFFFB)))
+    assert nc[0].tolist() == [0, 8]
