@@ -183,7 +183,7 @@ def _make_phase_a(n: int, rows_a: int, interpret: bool):
                 store(srt, off_w, b)
                 return 0
             jax.lax.fori_loop(jnp.int32(0), jnp.int32(nlb // 2 * nrs), body,
-                              0, unroll=False)
+                              0, unroll=8)
             return 0
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(rows_a), stage, 0,
@@ -254,7 +254,7 @@ def _make_phase_b(n: int, rows_a: int, interpret: bool):
                 store(srt, off_w, bb)
                 return 0
             jax.lax.fori_loop(jnp.int32(0), jnp.int32(nlb // 2 * nrs), body,
-                              0, unroll=False)
+                              0, unroll=8)
 
         def roll_stage(r, b):
             fetch(r)
@@ -273,7 +273,7 @@ def _make_phase_b(n: int, rows_a: int, interpret: bool):
                 store(srt, off, out)
                 return 0
             jax.lax.fori_loop(jnp.int32(0), jnp.int32(nlb * nrs), body,
-                              0, unroll=False)
+                              0, unroll=8)
 
         # static 7-stage schedule: which stages roll vs align is fixed
         # by n (b < k aligned), so unroll in Python — the two bodies each

@@ -215,18 +215,3 @@ def test_encode_kernel_round0_specialization():
     got, ok_g = jax.jit(partial(encode_sf_fused, parms=parms))(v)
     assert np.array_equal(np.asarray(ok_w), np.asarray(ok_g))
     assert np.array_equal(np.asarray(got), np.asarray(want))
-
-
-@pytest.mark.parametrize("n", [1024])
-def test_ntt2_batch_major_bit_exact(n):
-    """Second-gen batch-major NTT kernel (interpret) == jnp NTT per limb."""
-    from seal_embedded_tpu.config import PRIMES_30BIT
-    from seal_embedded_tpu.ops.kernels.ntt2 import ntt_batch_major
-
-    moduli = tuple(PRIMES_30BIT[:2])
-    rng = np.random.default_rng(n)
-    x = rng.integers(0, min(moduli), (2, 128, n)).astype(np.uint32)
-    out = np.asarray(ntt_batch_major(jnp.asarray(x), moduli, interpret=True))
-    for l, q in enumerate(moduli):
-        want = np.asarray(ntt(jnp.asarray(x[l]), q))
-        assert np.array_equal(out[l], want), l
