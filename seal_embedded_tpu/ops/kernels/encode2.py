@@ -184,6 +184,94 @@ def _sigma_perm(n: int) -> np.ndarray:
     return (lo << LB_BITS) | (mid << k) | hi
 
 
+def _bit_sources(n: int, g) -> tuple:
+    """For a bit-permutation index map g (g(i) permutes the bits of i),
+    the source bit of each output bit: src[j] = b iff g(1 << b) == 1 << j.
+    Validated exhaustively by the caller."""
+    logn = n.bit_length() - 1
+    src = [None] * logn
+    for b in range(logn):
+        v = int(g(1 << b))
+        j = v.bit_length() - 1
+        assert v == 1 << j
+        src[j] = b
+    assert None not in src
+    return tuple(src)
+
+
+def _apply_bitperm(x, n: int, src: tuple):
+    """y[..., i] = x[..., g(i)] for the bit permutation with output-bit
+    sources `src`, as ONE multi-axis transpose (the lane axis splits into
+    logn 2-wide axes; XLA fuses the reshape-transpose-reshape)."""
+    logn = n.bit_length() - 1
+    b = x.shape[:-1]
+    xa = x.reshape(b + (2,) * logn)  # axis a <-> bit (logn-1-a)
+    nb = len(b)
+    # y[i] = x[g(i)]: x's bit j must be indexed by i's bit src[j]; in
+    # transpose terms P[axis-of-bit src[j]] = axis-of-bit j.
+    perm = list(range(nb)) + [0] * logn
+    for j in range(logn):
+        perm[nb + (logn - 1 - src[j])] = nb + (logn - 1 - j)
+    return xa.transpose(perm).reshape(b + (n,))
+
+
+@lru_cache(maxsize=16)
+def _sigma2_perm(n: int):
+    """Third-phase permutation for logn >= 11: swap the MIDDLE bit-field
+    [k, 7) (the rounds the two-phase pipeline must roll) with high bits
+    [7, 14-k), so phase A2 runs rounds k..6 as aligned lane-block ops.
+    Returns (sigma2 index array, src bits of T1 = sigma1 o sigma2,
+    src bits of T2 = sigma2) — both transforms applied as one XLA
+    multi-axis transpose each."""
+    logn = n.bit_length() - 1
+    k = _swap_k(logn)
+    m = LB_BITS - k           # middle width
+    assert logn >= LB_BITS + m, "3-phase needs logn >= 14 - k"
+    i = np.arange(n)
+    lo = i & ((1 << k) - 1)
+    mid = (i >> k) & ((1 << m) - 1)
+    h0 = (i >> LB_BITS) & ((1 << m) - 1)
+    rest = i >> (LB_BITS + m)
+    sigma2 = ((rest << (LB_BITS + m)) | (mid << LB_BITS) | (h0 << k) | lo)
+    sig1 = _sigma_perm(n)
+    g1 = lambda j: int(sig1[sigma2[j]])  # noqa: E731
+    src1 = _bit_sources(n, g1)
+    src2 = _bit_sources(n, lambda j: int(sigma2[j]))
+    # exhaustive validation of the transpose encodings (pure numpy — this
+    # runs inside jit traces, where jnp would produce tracers)
+    probe = np.arange(n)
+
+    def np_apply(x, src):
+        xa = x.reshape((2,) * logn)
+        perm = [0] * logn
+        for j in range(logn):
+            perm[logn - 1 - src[j]] = logn - 1 - j
+        return xa.transpose(perm).reshape(n)
+
+    assert np.array_equal(np_apply(probe, src1), probe[sig1[sigma2]])
+    assert np.array_equal(np_apply(probe, src2), probe[sigma2])
+    return sigma2, src1, src2
+
+
+def _use_three_phase(logn: int) -> bool:
+    """3-phase (zero roll rounds) needs the middle field to fit above bit
+    7: logn >= 14 - k = 21 - logn."""
+    k = _swap_k(logn)
+    return logn - LB_BITS >= LB_BITS - k and k < LB_BITS
+
+
+@lru_cache(maxsize=16)
+def _tw_tables_a2(n: int):
+    """Phase-A2 twiddle planes: original rounds k..6 permuted by sigma2
+    (state[lane] holds original position sigma2(lane))."""
+    pre, pim = _tw_tables(n)
+    sigma2, _, _ = _sigma2_perm(n)
+    k = _swap_k(n.bit_length() - 1)
+    TW = type(pre)
+    return (TW(*(p[k:LB_BITS, sigma2] for p in pre)),
+            TW(*(p[k:LB_BITS, sigma2] for p in pim)))
+
+
 def _mid_swap(x, n: int):
     """Apply sigma to the lane axis of (..., n) via reshape-transpose."""
     logn = n.bit_length() - 1
@@ -300,13 +388,15 @@ def _aligned_round(nlb, load, store, store_re, fetch, load_tw, row, s,
                              acc, unroll=False)
 
 
-def _make_phase_a(n: int, interpret: bool):
+def _make_phase_a(n: int, interpret: bool, stop_at_k: bool = False):
     """Rounds 0..min(6, logn-1) in sigma layout: rounds < k aligned
-    (round 0 collapsed via _butterfly_re), rounds k..6 rolls."""
+    (round 0 collapsed via _butterfly_re), rounds k..6 rolls — unless
+    stop_at_k (the 3-phase pipeline hands rounds k..6 to phase A2 as
+    aligned rounds under sigma2)."""
     logn = n.bit_length() - 1
     k = _swap_k(logn)
     nlb = n // TLANE
-    nr = min(LB_BITS, logn)  # phase-A round count
+    nr = k if stop_at_k else min(LB_BITS, logn)  # phase-A round count
     roll, rollr = _make_rolls(interpret)
 
     def kernel(vals_ref, *rest):
@@ -375,6 +465,48 @@ def _make_phase_a(n: int, interpret: bool):
         if k < nr:
             acc = jax.lax.fori_loop(jnp.int32(k), jnp.int32(nr), roll_round,
                                     acc, unroll=False)
+        acc_ref[...] = acc
+
+    return kernel
+
+
+def _make_phase_mid(n: int, interpret: bool):
+    """Phase A2 (3-phase pipeline only): original rounds k..6 in sigma2
+    layout — all aligned at lane bits 7..13-k.  In: 8 state planes + 8
+    tw planes (rows 0..6-k); out: 8 state planes (working buffers)."""
+    logn = n.bit_length() - 1
+    k = _swap_k(logn)
+    nlb = n // TLANE
+    nrounds = LB_BITS - k
+
+    def kernel(*args):
+        # arg order: 8 in-state, 8 tw (ANY), then OUTPUTS (8 state, acc),
+        # then scratch (8 tw rows, sems)
+        in_st, rest = args[:8], args[8:]
+        tw_hbm = rest[:8]
+        st = rest[8:16]
+        acc_ref = rest[16]
+        tw_vm, sems = rest[17:25], rest[25]
+        load, store, store_re = _state_io(st)
+        fetch, load_tw = _tw_loader(tw_hbm, tw_vm, sems)
+
+        def cp_body(t, _):
+            sl = (slice(None), pl.ds(pl.multiple_of(
+                t * jnp.int32(TLANE), TLANE), TLANE))
+            for dst, src in zip(st, in_st):
+                dst[sl] = src[sl]
+            return 0
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nlb), cp_body, 0,
+                          unroll=False)
+
+        # Guard continuity: this phase re-checks its own op outputs into a
+        # fresh accumulator folded by the wrapper with phases A and B.
+        acc = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nrounds),
+            lambda r, a: _aligned_round(nlb, load, store, store_re,
+                                        fetch, load_tw, r, r, a,
+                                        last=False),
+            jnp.zeros((TB, TLANE), I32), unroll=False)
         acc_ref[...] = acc
 
     return kernel
@@ -477,8 +609,9 @@ def _encode_call(n: int, bpad: int, interpret: bool):
                  for i in range(8)]
                 + [pltpu.SemaphoreType.DMA((8,))])
 
+    three = _use_three_phase(logn)
     call_a = pl.pallas_call(
-        _make_phase_a(n, interpret),
+        _make_phase_a(n, interpret, stop_at_k=three),
         grid=(bpad // TB,),
         in_specs=[plane_spec()] + [tw_spec()] * 8,
         out_specs=[acc_spec()] + [plane_spec()] * 8,
@@ -490,6 +623,22 @@ def _encode_call(n: int, bpad: int, interpret: bool):
         compiler_params=cparams,
         interpret=interpret,
     )
+
+    if three:
+        call_mid = pl.pallas_call(
+            _make_phase_mid(n, interpret),
+            grid=(bpad // TB,),
+            in_specs=[plane_spec()] * 8 + [tw_spec()] * 8,
+            out_specs=[plane_spec()] * 8 + [acc_spec()],
+            out_shape=[jax.ShapeDtypeStruct((bpad, n), d)
+                       for d in st_dtypes]
+            + [jax.ShapeDtypeStruct((bpad, TLANE), I32)],
+            scratch_shapes=tw_scratch(),
+            compiler_params=cparams,
+            interpret=interpret,
+        )
+        twa2_re, twa2_im = _tw_tables_a2(n)
+        _, src1, src2 = _sigma2_perm(n)
 
     def make_b(ninv_planes):
         return pl.pallas_call(
@@ -513,8 +662,18 @@ def _encode_call(n: int, bpad: int, interpret: bool):
         twa = [jnp.asarray(p)[:, None, :] for p in (*twa_re, *twa_im)]
         twb = [jnp.asarray(p)[:, None, :] for p in (*twb_re, *twb_im)]
         acc_a, *planes = call_a(vals_bn, *twa)
-        # swap-back: sigma as one reshape-transpose per plane (XLA)
-        planes = [_mid_swap(p, n) for p in planes]
+        if three:
+            # T1: sigma1-layout -> sigma2-layout, T2: sigma2 -> natural;
+            # each is one XLA multi-axis transpose (_apply_bitperm).
+            twa2 = [jnp.asarray(p)[:, None, :]
+                    for p in (*twa2_re, *twa2_im)]
+            planes = [_apply_bitperm(p, n, src1) for p in planes]
+            *planes, acc_m = call_mid(*planes, *twa2)
+            planes = [_apply_bitperm(p, n, src2) for p in planes]
+            acc_a = jnp.minimum(acc_a, acc_m)
+        else:
+            # swap-back: sigma as one reshape-transpose per plane (XLA)
+            planes = [_mid_swap(p, n) for p in planes]
         lo, hi, okp, accp = make_b(ninv_planes)(*planes, *twb, acc_a)
         return lo, hi, okp, accp
 

@@ -168,7 +168,7 @@ def test_fused_pipeline_ntt_kernel_forced_golden(golden_sym, monkeypatch):
             assert np.array_equal(c1[i, b], t["c1"][i]), f"c1 t{b} p{i}"
 
 
-@pytest.mark.parametrize("n", [256, 1024])
+@pytest.mark.parametrize("n", [256, 1024, 2048])
 def test_encode_kernel_bit_exact_vs_sf(n):
     """Fused Pallas encode (interpret mode off-TPU) == encode_sf, bit
     for bit, including the ok/guard flag.  (encode_sf is itself anchored
@@ -179,6 +179,8 @@ def test_encode_kernel_bit_exact_vs_sf(n):
     from seal_embedded_tpu.ops.encode import encode_sf
     from seal_embedded_tpu.ops.kernels.encode2 import encode_sf_fused
 
+    # n=2048 is the smallest THREE-phase degree (zero roll rounds via the
+    # second bit-field swap); 256/1024 cover the two-phase roll path.
     parms = Parms(degree=n, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20)
     rng = np.random.default_rng(n)
     values = rng.uniform(-1, 1, (4, n // 2)).astype(np.float32)
