@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cerrno>
 #include <string>
 #include <vector>
 
@@ -101,6 +102,116 @@ size_t se_parse_poly(const char* line, uint32_t* vals, size_t cap) {
         p = end;
     }
     return count;
+}
+
+}  // extern "C"
+
+// ---- streaming senders (device/lib/network.{h,c} analog) ----
+//
+// The reference streams each RNS component as it is produced, through
+// native code (curl POST on the Sphere A7; SEND_FNCT_PTR elsewhere,
+// seal_embedded.c:180-204).  These handles implement the framework's
+// host-side equivalent natively: 4-byte LE length framing over a file or
+// TCP socket, with a batched entry point that frames and writes a whole
+// (count, n) block of u32 components without per-component FFI or
+// Python-loop overhead.
+
+#include <fcntl.h>
+#include <unistd.h>
+#include <netdb.h>
+#include <sys/socket.h>
+
+namespace {
+struct Stream {
+    int fd = -1;
+    bool is_socket = false;
+};
+std::vector<Stream> g_streams;
+
+bool write_all(int fd, const uint8_t* p, size_t len) {
+    while (len) {
+        ssize_t k = ::write(fd, p, len);
+        if (k <= 0) {
+            if (k < 0 && errno == EINTR) continue;
+            return false;
+        }
+        p += (size_t)k;
+        len -= (size_t)k;
+    }
+    return true;
+}
+}  // namespace
+
+extern "C" {
+
+// Returns a handle >= 0, or -1 on error.  Appends to `path`.
+int64_t se_stream_open_file(const char* path) {
+    int fd = ::open(path, O_WRONLY | O_CREAT | O_APPEND, 0644);
+    if (fd < 0) return -1;
+    g_streams.push_back({fd, false});
+    return (int64_t)g_streams.size() - 1;
+}
+
+int64_t se_stream_open_tcp(const char* host, int port) {
+    char svc[16];
+    std::snprintf(svc, sizeof svc, "%d", port);
+    addrinfo hints{};
+    hints.ai_family = AF_UNSPEC;
+    hints.ai_socktype = SOCK_STREAM;
+    addrinfo* res = nullptr;
+    if (getaddrinfo(host, svc, &hints, &res) != 0) return -1;
+    int fd = -1;
+    for (addrinfo* a = res; a; a = a->ai_next) {
+        fd = ::socket(a->ai_family, a->ai_socktype, a->ai_protocol);
+        if (fd < 0) continue;
+        if (::connect(fd, a->ai_addr, a->ai_addrlen) == 0) break;
+        ::close(fd);
+        fd = -1;
+    }
+    freeaddrinfo(res);
+    if (fd < 0) return -1;
+    g_streams.push_back({fd, true});
+    return (int64_t)g_streams.size() - 1;
+}
+
+// One framed blob; returns payload bytes written or -1.
+int64_t se_stream_send(int64_t h, const uint8_t* data, size_t len) {
+    if (h < 0 || (size_t)h >= g_streams.size()) return -1;
+    int fd = g_streams[(size_t)h].fd;
+    uint8_t hdr[4] = {(uint8_t)(len & 0xFF), (uint8_t)((len >> 8) & 0xFF),
+                      (uint8_t)((len >> 16) & 0xFF),
+                      (uint8_t)((len >> 24) & 0xFF)};
+    if (!write_all(fd, hdr, 4) || !write_all(fd, data, len)) return -1;
+    return (int64_t)len;
+}
+
+// Batched: frames and writes `count` components of n u32 words each
+// (little-endian on LE hosts via direct copy) — the per-prime streaming
+// loop in one native call.  Returns total payload bytes or -1.
+int64_t se_stream_send_components(int64_t h, const uint32_t* comps,
+                                  size_t count, size_t n) {
+    int64_t total = 0;
+    for (size_t c = 0; c < count; c++) {
+#if __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+        int64_t k = se_stream_send(h, (const uint8_t*)(comps + c * n),
+                                   n * 4);
+#else
+        std::vector<uint8_t> buf(n * 4);
+        se_ct_to_bytes(comps + c * n, 1, n, buf.data());
+        int64_t k = se_stream_send(h, buf.data(), n * 4);
+#endif
+        if (k < 0) return -1;
+        total += k;
+    }
+    return total;
+}
+
+int se_stream_close(int64_t h) {
+    if (h < 0 || (size_t)h >= g_streams.size()) return -1;
+    int fd = g_streams[(size_t)h].fd;
+    if (fd >= 0) ::close(fd);
+    g_streams[(size_t)h].fd = -1;
+    return 0;
 }
 
 }  // extern "C"

@@ -104,3 +104,78 @@ def parse_poly(line: str, cap: int = 1 << 20) -> np.ndarray:
     if got == ctypes.c_size_t(-1).value:
         raise ValueError("not a poly line")
     return out[:got].copy()
+
+
+# --------------------------------------------------------- streaming senders
+#
+# The reference streams every RNS component through native code
+# (device/lib/network.c curl POST / SEND_FNCT_PTR, seal_embedded.c:180-204).
+# These wrap the C++ handles in native/sealtpu_io.cpp: 4-byte LE length
+# framing over a file or TCP socket (the same wire format as
+# io.network.file_sink / tcp_sender — asserted in tests/test_native_io.py),
+# plus a batched per-prime sender that frames and writes a whole (count, n)
+# u32 block in one native call.
+
+
+def _load_stream_syms(lib):
+    if getattr(lib, "_stream_syms", False):
+        return
+    lib.se_stream_open_file.argtypes = [ctypes.c_char_p]
+    lib.se_stream_open_file.restype = ctypes.c_int64
+    lib.se_stream_open_tcp.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.se_stream_open_tcp.restype = ctypes.c_int64
+    lib.se_stream_send.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_size_t]
+    lib.se_stream_send.restype = ctypes.c_int64
+    lib.se_stream_send_components.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t]
+    lib.se_stream_send_components.restype = ctypes.c_int64
+    lib.se_stream_close.argtypes = [ctypes.c_int64]
+    lib.se_stream_close.restype = ctypes.c_int
+    lib._stream_syms = True
+
+
+class NativeStream:
+    """A native framed-component stream (file or TCP).
+
+    Usable directly as api.se_encrypt_seeded's ``send=`` callback, and as a
+    batched per-prime sender via send_components.
+    """
+
+    def __init__(self, handle: int):
+        if handle < 0:
+            raise OSError("native stream open failed")
+        self._h = handle
+
+    @classmethod
+    def to_file(cls, path: str) -> "NativeStream":
+        lib = _load()
+        _load_stream_syms(lib)
+        return cls(lib.se_stream_open_file(str(path).encode()))
+
+    @classmethod
+    def to_tcp(cls, host: str, port: int) -> "NativeStream":
+        lib = _load()
+        _load_stream_syms(lib)
+        return cls(lib.se_stream_open_tcp(host.encode(), port))
+
+    def __call__(self, data: bytes) -> int:
+        lib = _load()
+        got = lib.se_stream_send(self._h, data, len(data))
+        if got < 0:
+            raise OSError("native stream send failed")
+        return int(got)
+
+    def send_components(self, components: np.ndarray) -> int:
+        """Frame+write a (count, n) u32 block in one native call — the
+        reference's per-prime send loop without per-component FFI."""
+        lib = _load()
+        c = np.ascontiguousarray(np.atleast_2d(components), dtype=np.uint32)
+        count, n = c.shape
+        got = lib.se_stream_send_components(self._h, c.ctypes.data, count, n)
+        if got < 0:
+            raise OSError("native stream send failed")
+        return int(got)
+
+    def close(self) -> None:
+        _load().se_stream_close(self._h)

@@ -59,3 +59,74 @@ def test_format_parse_poly_roundtrip_matches_python():
     assert line.strip() == pyline.strip()
     back = native.parse_poly(line)
     assert np.array_equal(back, vals)
+
+
+def test_native_stream_file_matches_python_framing(tmp_path):
+    """NativeStream.to_file + send_components produce exactly the bytes of
+    io.network.file_sink fed by serialize.ct_component_bytes."""
+    from seal_embedded_tpu.io import native, network, serialize
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    comps = rng.integers(0, 2 ** 32, (4, 64)).astype(np.uint32)
+
+    p_native = tmp_path / "native.bin"
+    st = native.NativeStream.to_file(str(p_native))
+    total = st.send_components(comps)
+    st(b"trailing-blob")          # callback form too
+    st.close()
+    assert total == comps.size * 4
+
+    p_py = tmp_path / "py.bin"
+    send = network.file_sink(str(p_py))
+    for c in comps:
+        send(serialize.ct_component_bytes(c))
+    send(b"trailing-blob")
+    assert p_native.read_bytes() == p_py.read_bytes()
+    # and the reader round-trips
+    back = network.read_components(str(p_native))
+    assert len(back) == 5
+    assert np.array_equal(
+        np.frombuffer(back[0], dtype="<u4"), comps[0])
+
+
+def test_native_stream_tcp_roundtrip():
+    """Native TCP sender against a localhost server thread."""
+    import socket
+    import threading
+    from seal_embedded_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    received = []
+
+    def serve():
+        conn, _ = srv.accept()
+        buf = b""
+        while len(received) < 2:
+            data = conn.recv(65536)
+            if not data:
+                break
+            buf += data
+            while len(buf) >= 4:
+                ln = int.from_bytes(buf[:4], "little")
+                if len(buf) < 4 + ln:
+                    break
+                received.append(buf[4:4 + ln])
+                buf = buf[4 + ln:]
+        conn.close()
+
+    th = threading.Thread(target=serve)
+    th.start()
+    st = native.NativeStream.to_tcp("127.0.0.1", port)
+    comps = np.arange(32, dtype=np.uint32).reshape(1, 32)
+    st.send_components(comps)
+    st(b"hello")
+    st.close()
+    th.join(timeout=10)
+    srv.close()
+    assert np.array_equal(np.frombuffer(received[0], dtype="<u4"), comps[0])
+    assert received[1] == b"hello"
