@@ -179,3 +179,42 @@ def test_adapter_verify_multiprime_and_corruption(tmp_path):
         dump(bad, corrupt_prime=p)
         assert not adapter.verify_ciphertexts(str(bad), str(sk_path),
                                               degree=n, nprimes=L), p
+
+
+def test_adapter_verify_cleartext_name_anchoring(tmp_path):
+    """Only lines whose first token is exactly 'v' count as cleartext
+    (api_tests.c:73-75 names them "v (cleartext)"): a line named
+    "conj_vals" — which CONTAINS the letter v — must not be misread as
+    cleartext (ADVICE r3 sharp edge)."""
+    from seal_embedded_tpu import adapter
+    from seal_embedded_tpu.golden.prng import Prng
+    from seal_embedded_tpu.golden.sampling import (
+        sample_small_poly_ternary_96)
+
+    ctx = _ctx()
+    n = ctx.parms.degree
+    packed = sample_small_poly_ternary_96(n, Prng(seed_bytes(1)))
+    sk_path = tmp_path / f"sk_{n}.dat"
+    serialize.write_sk(str(sk_path), packed)
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(-1, 1, (1, n // 2)).astype(np.float32)
+    out = api.se_encrypt_seeded(
+        ctx, vals, share_seeds=[seed_bytes(50)], seeds=[seed_bytes(51)])
+    assert bool(np.asarray(out["ok"]).all())
+
+    ct_path = tmp_path / "dump"
+    with open(ct_path, "w") as f:
+        # decoy: name contains 'v' but is NOT a cleartext line; its values
+        # would decode to garbage if misclassified
+        f.write(serialize.format_poly(
+            "conj_vals (debug)", np.arange(n, dtype=np.uint32)))
+        f.write(serialize.format_poly(
+            "v (cleartext)", np.asarray(vals[0], dtype=np.float64)))
+        for i in range(ctx.parms.nprimes):
+            f.write(serialize.format_poly(
+                "c0 (t0)", np.asarray(out["c0"])[i, 0]))
+            f.write(serialize.format_poly(
+                "c1 (t0)", np.asarray(out["c1"])[i, 0]))
+    assert adapter.verify_ciphertexts(
+        str(ct_path), str(sk_path), degree=n, nprimes=ctx.parms.nprimes)

@@ -58,3 +58,43 @@ def test_failed_batch_journals(tmp_path):
     values, sk, share, err = _inputs(1)
     assert r.run(7, values, sk, share, err) is None
     assert j.scan() == {7: "failed"}
+
+
+def test_pending_raises_on_lost_inputs(tmp_path):
+    """A durable PENDING record whose inputs npz is missing is exactly the
+    data loss the write-ahead journal exists to surface: pending() (and
+    therefore resume()) must raise, not silently skip (ADVICE r3)."""
+    import os
+    import pytest
+
+    j = CheckpointJournal(str(tmp_path))
+    values, sk, share, err = _inputs(3)
+    j.begin(7, {"values": np.asarray(values),
+                "share_words": np.asarray(share),
+                "err_words": np.asarray(err)})
+    os.remove(tmp_path / "batch_7_inputs.npz")
+    with pytest.raises(RuntimeError, match="missing or corrupt"):
+        j.pending()
+    # corrupt (truncated) file raises too
+    j.begin(8, {"values": np.asarray(values),
+                "share_words": np.asarray(share),
+                "err_words": np.asarray(err)})
+    with open(tmp_path / "batch_8_inputs.npz", "wb") as f:
+        f.write(b"PK\x03\x04truncated")
+    with pytest.raises(RuntimeError, match="missing or corrupt"):
+        j.pending()
+
+
+def test_begin_writes_inputs_atomically(tmp_path):
+    """begin() must never leave a PENDING record without a complete npz:
+    the inputs file appears via fsync+rename BEFORE the journal line."""
+    import os
+
+    j = CheckpointJournal(str(tmp_path))
+    values, sk, share, err = _inputs(4)
+    j.begin(9, {"values": np.asarray(values)})
+    # no temp residue, npz loadable, journal has the record
+    assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path))
+    data = dict(np.load(tmp_path / "batch_9_inputs.npz"))
+    assert np.array_equal(data["values"], np.asarray(values))
+    assert j.scan() == {9: "pending"}
