@@ -177,14 +177,12 @@ def _rejected_positions(rejected, cap: int):
     cidx = jnp.arange(nch, dtype=I32)[:, None]
     gpos = jnp.where(lpos == _CHUNK_N, jnp.int32(n),
                      lpos + cidx * jnp.int32(_CHUNK_N))
-    # merge: chunk c's first counts[c] entries land at prefix offsets.
-    offs = jnp.cumsum(counts, axis=-1) - counts           # exclusive
-    rank = jnp.arange(_CHUNK_K, dtype=I32)
-    tgt = offs[..., None] + rank                          # (..., nch, K)
-    tgt = jnp.where(rank < counts[..., None], tgt, jnp.int32(cap))
-    out = jnp.full(rejected.shape[:-1] + (cap,), n, I32)
-    out = _scatter_last(out, tgt.reshape(tgt.shape[:-2] + (nch * _CHUNK_K,)),
-                        gpos.reshape(gpos.shape[:-2] + (nch * _CHUNK_K,)))
+    # merge: ONE (nch*K)-wide ascending sort — valid positions (ascending
+    # within each chunk) interleave globally and invalid slots (== n)
+    # sink to the tail; the first `cap` survive.  Replaces a prefix-offset
+    # scatter (sorts lower better than scatters on TPU).
+    flat = gpos.reshape(gpos.shape[:-2] + (nch * _CHUNK_K,))
+    out = jax.lax.sort(flat, dimension=-1)[..., :cap]
     return out, num_rejected, ok
 
 
@@ -217,15 +215,14 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
     qrank = jnp.cumsum(queue_acc.astype(I32), axis=-1)
     num_accepted = qrank[..., -1]
 
-    # accepted_vals[r] = value of the (r+1)-th accepted queue slot;
-    # accepted_pos[r] = its queue position.
-    idx = jnp.where(queue_acc, qrank - 1, cap)  # cap == dropped
-    out_shape = queue_vals.shape[:-1] + (cap,)
-    accepted_vals = _scatter_last(jnp.zeros(out_shape, queue_vals.dtype),
-                                  idx, queue_vals)
-    pos = jnp.broadcast_to(jnp.arange(cap, dtype=I32),
-                           queue_vals.shape[:-1] + (cap,))
-    accepted_pos = _scatter_last(jnp.zeros(out_shape, I32), idx, pos)
+    # accepted_vals[r] = value of the (r+1)-th accepted queue slot:
+    # stable-sort the queue by acceptance (accepted first) — XLA lowers
+    # the cap-wide sort cheaper than the equivalent cap-wide scatter.
+    # (Slots past num_accepted hold rejected draws rather than zeros;
+    # they are only ever read when the queue overflowed, i.e. ok=False.)
+    sort_key = (~queue_acc).astype(I32)
+    _, accepted_vals = jax.lax.sort((sort_key, queue_vals), dimension=-1,
+                                    is_stable=True, num_keys=1)
 
     # Positions of the first CAP rejected base entries, in position order
     # (== n where the rank is invalid; ok covers every truncation).
@@ -238,11 +235,13 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
     final = flat_b.at[rows, flat_p].set(flat_v, mode="drop") \
                   .reshape(base_vals.shape)
 
-    # Consumed slots = queue position of the last needed accepted entry + 1.
-    last_pos = jnp.take_along_axis(
-        accepted_pos, jnp.clip(num_rejected - 1, 0, cap - 1)[..., None], axis=-1
-    )[..., 0]
-    consumed = jnp.where(num_rejected > 0, last_pos + 1, 0)
+    # Consumed slots = queue position of the last needed accepted entry + 1
+    # = (count of queue positions with fewer than num_rejected accepted
+    # entries so far) + 1 — a pure reduction over qrank, replacing the
+    # accepted-position scatter + take_along_axis this used to need.
+    before_last = jnp.sum(
+        (qrank < num_rejected[..., None]).astype(I32), axis=-1)
+    consumed = jnp.where(num_rejected > 0, before_last + 1, 0)
     ok = (num_rejected <= num_accepted) & ok_pos
     return final, consumed.astype(U32), ok
 
