@@ -202,11 +202,17 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
     (every rejected position has a unique rank), so instead of gathering
     accepted values into the n base positions (a (..., n)-sized gather from
     a tiny table — measured ~44 ms at (1024, 4096) on v5e) we:
-      1. compact the accepted queue entries by rank (CAP-sized scatter),
-      2. find the positions of the first CAP rejected entries with one
-         top_k over a position-encoding key,
+      1. compact the accepted queue entries by rank with ONE stable
+         cap-wide sort keyed on acceptance (TPU sorts lower far better
+         than the equivalent scatter - measured r4),
+      2. find the positions of the first CAP rejected entries with
+         top_k over a position-encoding key (chunked for wide rows,
+         _rejected_positions),
       3. scatter accepted value r onto the (r+1)-th rejected position
-         (CAP updates per stream, invalid ranks dropped).
+         (the one remaining scatter: CAP updates per stream, invalid
+         ranks dropped),
+      4. derive the consumed-counter as a pure reduction over the
+         acceptance cumsum (no position table needed).
     """
     cap = queue_vals.shape[-1]
     n = base_vals.shape[-1]
