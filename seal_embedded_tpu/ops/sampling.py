@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .keccak import RATE_WORDS, shake256_words
+from .keccak import shake256_words
 
 U32 = jnp.uint32
 I32 = jnp.int32
