@@ -121,13 +121,25 @@ def run_pipeline(parms, pipe, encode_mode, B, iters, rng, device,
         from seal_embedded_tpu.ckks.asym import (gen_pk_batch,
                                                  make_fused_asym_encryptor)
         values, sk, share, err = args
-        ep = jnp.asarray(rng.integers(-20, 21, degree).astype(np.int32))
-        pk0, pk1 = gen_pk_batch(
-            sk, jnp.asarray(rng.integers(0, 2 ** 32, (1, 16))
-                            .astype(np.uint32)), ep, parms)
+        gold = _load_golden_asym(parms) if encode_mode in ("sf", "f64") \
+            else None
+        if gold is not None:
+            # rows 0..G-1 carry the C-reference asym vectors: the golden
+            # pk (adapter-format, NTT form), values and the deterministic
+            # private seed, so the timed computation is verified
+            # bit-for-bit on device like the sym rows.
+            G = gold["G"]
+            pk0 = jnp.asarray(gold["pk0"])
+            pk1 = jnp.asarray(gold["pk1"])
+            values = values.at[:G].set(jnp.asarray(gold["v"]))
+            share = share.at[:G].set(jnp.asarray(gold["seed_words"]))
+        else:
+            ep = jnp.asarray(rng.integers(-20, 21, degree).astype(np.int32))
+            pk0, pk1 = gen_pk_batch(
+                sk, jnp.asarray(rng.integers(0, 2 ** 32, (1, 16))
+                                .astype(np.uint32)), ep, parms)
         fn = make_fused_asym_encryptor(parms, encode_mode)
         args = (values, pk0, pk1, share)
-        gold = None
         metric = f"asym_encrypt_n{degree}_p{nprimes}_throughput"
     else:
         raise SystemExit(f"unknown BENCH_PIPE {pipe!r}")
@@ -256,6 +268,33 @@ def _load_golden(parms):
         "share_words": np.tile(kc.seed_to_words(seed_bytes(2)), (G, 1)),
         "err_words": np.tile(kc.seed_to_words(seed_bytes(3)), (G, 1)),
         "sk_signed": sk_signed,
+        "c0": [[data[f"c0_{L * t + i}"] for i in range(L)] for t in range(G)],
+        "c1": [[data[f"c1_{L * t + i}"] for i in range(L)] for t in range(G)],
+    }
+
+
+def _load_golden_asym(parms):
+    """Asymmetric golden vectors (tests/golden_asym_*.npz) when they match
+    the benched config; None otherwise."""
+    import pathlib
+    path = (pathlib.Path(__file__).parent / "tests" /
+            f"golden_asym_{parms.degree}_{parms.nprimes}.npz")
+    if not path.exists():
+        return None
+    from seal_embedded_tpu.ops import keccak as kc
+    data = np.load(path)
+    G = sum(1 for k in data.files if k.startswith("v_"))
+    L = parms.nprimes
+
+    def seed_bytes(tag):
+        return bytes((tag + i) & 0xFF for i in range(64))
+
+    return {
+        "G": G,
+        "v": np.stack([data[f"v_{t}"] for t in range(G)]),
+        "seed_words": np.tile(kc.seed_to_words(seed_bytes(3)), (G, 1)),
+        "pk0": np.stack([data[f"pk0_{i}"] for i in range(L)]),
+        "pk1": np.stack([data[f"pk1_{i}"] for i in range(L)]),
         "c0": [[data[f"c0_{L * t + i}"] for i in range(L)] for t in range(G)],
         "c1": [[data[f"c1_{L * t + i}"] for i in range(L)] for t in range(G)],
     }
