@@ -179,25 +179,43 @@ def se_encrypt_seeded(ctx: SEContext, values: np.ndarray,
                  jnp.asarray(ctx.pk1), _seed_words_batch(seeds))
 
     if send is not None:
-        c0 = np.asarray(out["c0"])
         # Sanity check before anything leaves the device: every ciphertext
         # coefficient must be canonical, < its prime (seal_embedded.c:172-177).
-        qs = np.asarray(ctx.parms.moduli, dtype=np.uint32)[:, None, None]
-        if not (c0 < qs).all():
-            raise ValueError("ciphertext c0 coefficient >= modulus")
+        # Runs ON DEVICE as a reduction — the host fetches one boolean, not
+        # an extra (L, B, n) pass (the component fetches below are the only
+        # bulk transfers on the send path).
+        check_c1 = not send_seed_only
+        if not bool(_canon_check(ctx.parms)(
+                out["c0"], out["c1"] if check_c1 else out["c0"])):
+            raise ValueError("ciphertext coefficient >= modulus")
+        c0 = np.asarray(out["c0"])
         if send_seed_only:
             assert ctx.encrypt_type == SYM, "seed-only cts are symmetric"
             for b in range(B):
                 send(serialize.seeded_ct_bytes(share_seeds[b], c0[:, b]))
         else:
             c1 = np.asarray(out["c1"])
-            if not (c1 < qs).all():
-                raise ValueError("ciphertext c1 coefficient >= modulus")
             for b in range(B):
                 for i in range(ctx.parms.nprimes):
                     send(serialize.ct_component_bytes(c0[i, b]))
                     send(serialize.ct_component_bytes(c1[i, b]))
     return out
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _canon_check(parms: Parms):
+    """On-device canonicality reduction: all coefficients of both
+    components < their limb's prime (seal_embedded.c:172-177)."""
+    qs = np.asarray(parms.moduli, dtype=np.uint32)[:, None, None]
+
+    def check(c0, c1):
+        q = jnp.asarray(qs)
+        return jnp.all(c0 < q) & jnp.all(c1 < q)
+
+    return jax.jit(check)
 
 
 def se_encrypt(ctx: SEContext, values: np.ndarray,
@@ -217,6 +235,29 @@ def se_decrypt_decode(ctx: SEContext, out, prime_idx: int = 0) -> np.ndarray:
 
 
 def se_cleanup(ctx: SEContext) -> None:
+    """Drop key material (the reference's se_cleanup + se_secure_zero_memset
+    discipline, seal_embedded.c:217-233, defines.h:405-409).
+
+    Host copies of sk/pk are zeroed in place before the references are
+    dropped, so the Python heap does not retain plaintext key bytes.
+    Threat-model note vs the reference: the reference volatile-memsets a
+    single mempool on a device it fully controls.  Here, transient device
+    (HBM) copies of the key are created per encrypt call and freed by
+    JAX's allocator when the call's arrays die — HBM is not accessible to
+    other processes on a healthy TPU VM, but freed pages are NOT scrubbed
+    by the runtime; for stronger guarantees keep contexts short-lived and
+    call se_cleanup as soon as the last batch is dispatched.  Compiled
+    executables cache no key values (keys are runtime arguments, never
+    trace-time constants)."""
+    for name in ("sk_signed", "pk0", "pk1"):
+        buf = getattr(ctx, name)
+        if buf is not None and isinstance(buf, np.ndarray):
+            try:
+                buf.setflags(write=True)
+                buf.fill(0)
+            except ValueError:
+                pass  # non-owning view; the reference we drop is all we have
+        setattr(ctx, name, None)
     ctx._sym_fn = None
     ctx._asym_fn = None
 

@@ -66,8 +66,8 @@ def sym_encrypt_stream(values, sk_signed, share_words, err_words,
                        order: str = "forward") -> Iterator[dict]:
     """Yields one dict per prime, in chain-walk order:
     {"prime_idx", "q", "c0", "c1", "ok"} with c0/c1 u32 (B, n) numpy
-    arrays; "ok" folds the encode overflow flag (checked once, at the
-    first yielded limb) with that limb's sampler-queue flag — both assert
+    arrays; "ok" folds the encode overflow flag (re-asserted at every
+    yielded limb) with that limb's sampler-queue flag — both assert
     here AND surface in the dict for sweep/driver bookkeeping.
 
     The device runs ahead: limb i+1's dispatch is queued before limb i's
@@ -105,20 +105,102 @@ def _fetch(item):
             "c1": np.asarray(c1), "ok": ok}
 
 
-def se_encrypt_streaming(ctx, values, share_seeds, err_seeds,
+@lru_cache(maxsize=16)
+def _limb_step_asym(parms: Parms):
+    """jit step for one asym limb: pure arithmetic, no PRNG state — the
+    reference streams asym exactly like sym (seal_embedded.c:145-213 with
+    ckks_next_prime_asym, ckks_asym.c:205-288), and all sampling happens
+    once up front (ckks_asym_init), so each limb is independent."""
+    from ..ops.sampling import ternary_to_modq_any
+
+    def step(pte, u_signed, e1, pk0_l, pk1_l, mod, op, quot):
+        ntt_u = ntt_with_tables(ternary_to_modq_any(u_signed, mod),
+                                op, quot, mod)
+        c1 = ma.mul_mod(pk1_l[None, :], ntt_u, mod)
+        c0 = ma.mul_mod(pk0_l[None, :], ntt_u, mod)
+        e1_red = jnp.where(e1 < 0, (e1 + mod.q.astype(jnp.int32))
+                           .astype(jnp.uint32), e1.astype(jnp.uint32))
+        c1 = ma.add_mod(c1, ntt_with_tables(e1_red, op, quot, mod), mod)
+        pte_red = ma.reduce_pte_i64(pte, mod)
+        c0 = ma.add_mod(c0, ntt_with_tables(pte_red, op, quot, mod), mod)
+        return c0, c1
+
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=16)
+def _asym_init(parms: Parms, encode_mode: str):
+    """jit of the up-front asym phase (encode + u/e0/e1 sampling,
+    ckks_asym_init semantics: one private stream, counters chaining
+    u -> e0 -> e1)."""
+    n = parms.degree
+
+    def f(values, seed_words):
+        pt, ok = encode_any(values, parms, encode_mode)
+        counter = sp.counter_zero((values.shape[0],))
+        u_signed, counter, ok_t = sp.sample_ternary(seed_words, counter, n)
+        e0, counter = sp.sample_cbd(seed_words, counter, n)
+        e1, _ = sp.sample_cbd(seed_words, counter, n)
+        return pt + e0.astype(jnp.int64), u_signed, e1, ok & ok_t
+
+    return jax.jit(f)
+
+
+def asym_encrypt_stream(values, pk0, pk1, seed_words, parms: Parms,
+                        encode_mode: str = "f64",
+                        order: str = "forward") -> Iterator[dict]:
+    """Per-prime streaming asymmetric encrypt; same contract as
+    sym_encrypt_stream (one dict per prime in chain-walk order, device
+    runs one limb ahead of the host fetch).  pk0/pk1: u32 (L, n) NTT
+    form."""
+    step = _limb_step_asym(parms)
+    pte, u_signed, e1, ok = _asym_init(parms, encode_mode)(values, seed_words)
+
+    idxs = list(range(parms.nprimes))
+    if order == "reverse":
+        idxs = idxs[::-1]
+
+    pending = []
+    for i in idxs:
+        q = int(parms.moduli[i])
+        mod = ma.Mod(*(jnp.asarray(f) for f in ma.as_mod(q)))
+        op, quot = ntt_tables(parms.degree, q)
+        c0, c1 = step(pte, u_signed, e1, pk0[i], pk1[i], mod,
+                      jnp.asarray(op), jnp.asarray(quot))
+        pending.append((i, q, c0, c1, ok))
+        if len(pending) > 1:
+            yield _fetch(pending.pop(0))
+    while pending:
+        yield _fetch(pending.pop(0))
+
+
+def se_encrypt_streaming(ctx, values, share_seeds=None, err_seeds=None,
                          send: Optional[Callable[[bytes], int]] = None,
                          order: str = "forward"):
     """API-level streaming encrypt: send c0/c1 bytes per prime as produced
-    (the reference's send-per-prime loop, seal_embedded.c:180-204)."""
+    (the reference's send-per-prime loop, seal_embedded.c:180-204).
+
+    Symmetric contexts stream via sym_encrypt_stream (share_seeds = the
+    shareable stream, err_seeds = the private stream); asymmetric contexts
+    via asym_encrypt_stream (err_seeds = the private stream sampling
+    u/e0/e1; share_seeds unused)."""
     from ..api import _seed_words_batch
     from ..io import serialize
 
     values = np.atleast_2d(np.asarray(values, dtype=np.float32))
-    out = []
-    for limb in sym_encrypt_stream(
+    if ctx.encrypt_type == "asym":
+        assert ctx.pk0 is not None, "asym streaming needs a loaded pk"
+        gen = asym_encrypt_stream(
+            jnp.asarray(values), jnp.asarray(ctx.pk0), jnp.asarray(ctx.pk1),
+            _seed_words_batch(err_seeds), ctx.parms,
+            ctx.resolved_encode_mode(), order)
+    else:
+        gen = sym_encrypt_stream(
             jnp.asarray(values), jnp.asarray(ctx.sk_signed),
             _seed_words_batch(share_seeds), _seed_words_batch(err_seeds),
-            ctx.parms, ctx.resolved_encode_mode(), order):
+            ctx.parms, ctx.resolved_encode_mode(), order)
+    out = []
+    for limb in gen:
         if send is not None:
             for b in range(values.shape[0]):
                 send(serialize.ct_component_bytes(limb["c0"][b]))

@@ -111,17 +111,35 @@ def make_decryptor(parms: Parms):
     return jax.jit(partial(decrypt_batch, parms=parms))
 
 
-def decrypt_batch(c0, c1, sk_signed, parms: Parms):
+def decrypt_batch(c0, c1, sk_signed, parms: Parms,
+                  intt_impl: str = "canonical", loaded_intt=None):
     """Test oracle: per-prime decrypt to centered pte (i64 (nprimes, B, n)).
 
-    c0/c1: u32 (nprimes, B, n).
+    c0/c1: u32 (nprimes, B, n).  intt_impl: 'canonical' (ops.ntt.intt) or
+    'lazy' — the reference's fast INTT with MUMO tables
+    (intt_lazy_inpl, intt.c:72-129), consuming `loaded_intt` ({q: (op,
+    quot)} arrays, e.g. from intt_fast_roots_<n>_<q>.dat files) or
+    computing the tables in the same file order.  Value-identical.
     """
-    from ..ops.ntt import intt
+    from ..io.serialize import intt_fast_root_table
+    from ..ops.ntt import intt, intt_lazy_with_tables
     outs = []
     for i, q in enumerate(parms.moduli):
+        q = int(q)
         ntt_s = _ntt_s_for_prime(sk_signed, q)
         pte_ntt = ma.add_mod(c0[i], ma.mul_mod(c1[i], ntt_s[None, :], q), q)
-        pte = intt(pte_ntt, q)
+        if intt_impl == "lazy":
+            if loaded_intt is not None and q in loaded_intt:
+                op, quot = loaded_intt[q]
+            else:
+                pairs = intt_fast_root_table(
+                    parms.degree, parms.logn, q, parms.ntt_root(q))
+                op, quot = pairs[0::2], pairs[1::2]
+            pte = intt_lazy_with_tables(
+                pte_ntt, jnp.asarray(np.asarray(op, np.uint32)),
+                jnp.asarray(np.asarray(quot, np.uint32)), q)
+        else:
+            pte = intt(pte_ntt, q)
         centered = jnp.where(pte > q // 2, pte.astype(jnp.int64) - q,
                              pte.astype(jnp.int64))
         outs.append(centered)

@@ -365,7 +365,10 @@ def encode_any(values, parms: Parms, mode: str = "dd"):
     if mode == "dd":
         return encode_dd(values, parms)
     if mode == "sf":
-        if sf_impl() == "kernel":
+        # The fused kernel's round-0 load loop needs at least two lane
+        # blocks (degree >= 256, _swap_k > 0); below that, use the jnp
+        # software-f64 path (bit-identical, and tiny degrees are cheap).
+        if sf_impl() == "kernel" and parms.degree >= 256:
             from .kernels.encode2 import encode_sf_fused
             return encode_sf_fused(values, parms)
         return encode_sf(values, parms)

@@ -706,6 +706,10 @@ def encode_sf_fused(values, parms, interpret: bool | None = None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = parms.degree
+    # _swap_k(logn) = 0 below n=256: the round-0 load loop would run zero
+    # iterations and return uninitialized VMEM.  encode_any dispatches
+    # small degrees to the jnp path; guard direct callers too.
+    assert n >= 256, f"encode_sf_fused needs degree >= 256, got {n}"
     B = values.shape[0]
     vlen = values.shape[-1]
     # placement composed with sigma: position p holds original sigma(p)

@@ -124,6 +124,74 @@ def intt(x, q: int):
 
 
 @lru_cache(maxsize=64)
+def intt_lazy_consts(n: int, q: int) -> tuple[tuple, tuple]:
+    """((inv_n, quot), (last_inv_sn, quot)) MUMO scalars for the lazy
+    INTT's merged final round (intt.c:226-268: inv_n = n^-1 mod q,
+    last_inv_sn = s * inv_n where s is the final round's root — the
+    values the reference hard-codes per (n, q) and the adapter prints;
+    verified against the worked example at intt.c:247-252)."""
+    from ..config import find_ntt_root
+    from ..io.serialize import intt_root_table
+    logn = n.bit_length() - 1
+    w = find_ntt_root(n, q)
+    tbl = intt_root_table(n, logn, q, w)
+    inv_n = pow(n, q - 2, q)
+    last_inv_sn = int(tbl[n - 1]) * inv_n % q
+    return ((inv_n, barrett_quotient(inv_n, q) & 0xFFFFFFFF),
+            (last_inv_sn, barrett_quotient(last_inv_sn, q) & 0xFFFFFFFF))
+
+
+def intt_lazy_with_tables(x, op, quot, q: int):
+    """Lazy ("fast") INTT with MUMO tables in the reference's INTT file
+    order (intt_lazy_inpl, intt.c:72-129 + the [0,q) correction at
+    intt.c:490-496): values accumulate in [0, 2q) across rounds, the
+    final round is merged with the inv_n / last_inv_sn multiplication,
+    and one correction pass lands canonical [0, q).
+
+    op/quot: u32 (n,) — e.g. the columns of a loaded
+    ``intt_fast_roots_<n>_<q>.dat`` (io.serialize.read_ntt_roots
+    fast=True), whose root order table[bitrev(i-1, logn)+1] differs from
+    intt_tables' forward indexing; round h reads rows [n-2h+1, n-h+1).
+    Value-identical to intt() (asserted in tests/test_stream_io.py).
+    """
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    batch_shape = x.shape[:-1]
+    v = x.astype(U32)
+    two_q = 2 * q
+
+    h, tt = n // 2, 1
+    for _ in range(logn - 1):
+        v = v.reshape(batch_shape + (h, 2, tt))
+        u = v[..., 0, :]
+        w_ = v[..., 1, :]
+        s_op = op[n - 2 * h + 1: n - h + 1] \
+            .reshape((1,) * len(batch_shape) + (h, 1))
+        s_quot = quot[n - 2 * h + 1: n - h + 1] \
+            .reshape((1,) * len(batch_shape) + (h, 1))
+        val1 = (u + w_).astype(U32)
+        val1 = jnp.where(val1 >= two_q, val1 - two_q, val1)
+        val2 = (u + two_q - w_).astype(U32)
+        t = mul_mod_shoup_lazy(val2, s_op, s_quot, q)
+        v = jnp.stack([val1, t], axis=-2)
+        h, tt = h // 2, tt * 2
+
+    v = v.reshape(batch_shape + (n,))
+    (inv_n, inv_n_q), (lsn, lsn_q) = intt_lazy_consts(n, q)
+    u = v[..., : n // 2]
+    w_ = v[..., n // 2:]
+    val1 = (u + w_).astype(U32)
+    val1 = jnp.where(val1 >= two_q, val1 - two_q, val1)
+    val2 = (u + two_q - w_).astype(U32)
+    lo = mul_mod_shoup_lazy(val1, jnp.asarray(inv_n, U32),
+                            jnp.asarray(inv_n_q, U32), q)
+    hi = mul_mod_shoup_lazy(val2, jnp.asarray(lsn, U32),
+                            jnp.asarray(lsn_q, U32), q)
+    v = jnp.concatenate([lo, hi], axis=-1)
+    return jnp.where(v >= q, v - q, v).astype(U32)
+
+
+@lru_cache(maxsize=64)
 def _gen_powers(n: int, q: int) -> tuple:
     """The logn generator squarings w^(2^b) mod q (host scalars) plus the
     static bitrev gather — the ONLY precomputed state of the OTF mode."""

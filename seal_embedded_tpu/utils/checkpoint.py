@@ -54,6 +54,15 @@ class CheckpointJournal:
         os.makedirs(dirpath, exist_ok=True)
         self.path = os.path.join(dirpath, "journal.jsonl")
 
+    def _fsync_dir(self) -> None:
+        """fsync the journal directory so renames/appends are durably
+        visible before any record that depends on them."""
+        fd = os.open(self.dirpath, os.O_DIRECTORY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def _append(self, rec: BatchRecord) -> None:
         with open(self.path, "a") as f:
             f.write(rec.to_json() + "\n")
@@ -74,6 +83,10 @@ class CheckpointJournal:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, final)
+        # fsync the directory: the renamed npz's directory entry must be
+        # durable before the PENDING record is (file fsync alone does not
+        # order the rename against the journal append).
+        self._fsync_dir()
         self._append(BatchRecord(batch_id, "pending",
                                  dict(meta or {}, ts=time.time())))
 

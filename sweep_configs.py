@@ -177,6 +177,30 @@ def run_sweep(degree: int = 512, batch: int = 4, quick: bool = False):
            np.asarray(out["c0"]), np.asarray(out["c1"]),
            bool(np.asarray(out["ok"]).all()), ieee_backend)
 
+    # Loaded fast-INTT decrypt oracle (SE_INTT_FAST, intt.c:72-129):
+    # re-check the baseline ciphertexts with the lazy INTT consuming
+    # intt_fast_roots_*.dat — must be value-identical to the canonical
+    # decrypt used by decode_check above.
+    from seal_embedded_tpu.ckks.sym import decrypt_batch
+    with tempfile.TemporaryDirectory() as d:
+        serialize.write_intt_roots(d, parms, fast=True)
+        loaded = {}
+        for q in parms.moduli:
+            q = int(q)
+            pairs = serialize.read_ntt_roots(
+                os.path.join(d, f"intt_fast_roots_{n}_{q}.dat"), n, fast=True)
+            loaded[q] = (pairs[:, 0].copy(), pairs[:, 1].copy())
+    want = np.asarray(decrypt_batch(jnp.asarray(base_ct[0]),
+                                    jnp.asarray(base_ct[1]), sk, parms))
+    got = np.asarray(decrypt_batch(jnp.asarray(base_ct[0]),
+                                   jnp.asarray(base_ct[1]), sk, parms,
+                                   intt_impl="lazy", loaded_intt=loaded))
+    passed = np.array_equal(got, want)
+    results.append(("decrypt intt=lazy(loaded fast tables)", passed, 0.0,
+                    passed))
+    print(f"{'PASS' if passed else 'FAIL'}  "
+          f"{'decrypt intt=lazy(loaded fast tables)':<58} bit=={passed}")
+
     failed = [name for name, passed, _, _ in results if not passed]
     print(f"\n{len(results) - len(failed)}/{len(results)} configs passed"
           + (f"; FAILED: {failed}" if failed else ""))

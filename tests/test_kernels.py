@@ -168,7 +168,7 @@ def test_fused_pipeline_ntt_kernel_forced_golden(golden_sym, monkeypatch):
             assert np.array_equal(c1[i, b], t["c1"][i]), f"c1 t{b} p{i}"
 
 
-@pytest.mark.parametrize("n", [256, 1024, 2048])
+@pytest.mark.parametrize("n", [256, 1024, 2048, 4096])
 def test_encode_kernel_bit_exact_vs_sf(n):
     """Fused Pallas encode (interpret mode off-TPU) == encode_sf, bit
     for bit, including the ok/guard flag.  (encode_sf is itself anchored
@@ -180,10 +180,12 @@ def test_encode_kernel_bit_exact_vs_sf(n):
     from seal_embedded_tpu.ops.kernels.encode2 import encode_sf_fused
 
     # n=2048 is the smallest THREE-phase degree (zero roll rounds via the
-    # second bit-field swap); 256/1024 cover the two-phase roll path.
+    # second bit-field swap); 256/1024 cover the two-phase roll path;
+    # n=4096 (2 rows — interpret mode is slow) covers the shipped default.
     parms = Parms(degree=n, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20)
     rng = np.random.default_rng(n)
-    values = rng.uniform(-1, 1, (4, n // 2)).astype(np.float32)
+    rows = 2 if n >= 4096 else 4
+    values = rng.uniform(-1, 1, (rows, n // 2)).astype(np.float32)
     values[0, :4] = [0.0, -0.0, 1e-44, -1e-38]   # zero / f32-subnormal rows
     v = jnp.asarray(values)
     want, ok_w = jax.jit(partial(encode_sf, parms=parms))(v)

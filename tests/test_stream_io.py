@@ -35,6 +35,34 @@ def test_streaming_matches_limbscan():
         assert np.array_equal(l["c1"], np.asarray(ref["c1"])[i]), f"c1 {i}"
 
 
+def test_asym_streaming_matches_batch():
+    """Per-prime asym streaming (ckks_next_prime_asym analog) ==
+    the batch asym pipeline (itself golden-anchored), limb by limb."""
+    from seal_embedded_tpu.ckks.asym import gen_pk_batch, make_asym_encryptor
+    from seal_embedded_tpu.ckks.stream import asym_encrypt_stream
+    from seal_embedded_tpu.ops.keccak import seed_to_words
+
+    rng = np.random.default_rng(7)
+    B, n = 2, P.degree
+    values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
+    sk = jnp.asarray((rng.integers(0, 3, n) - 1).astype(np.int32))
+    ep = jnp.asarray(rng.integers(-20, 21, n).astype(np.int32))
+    pk_seed = jnp.asarray(np.tile(seed_to_words(seed_bytes(4)), (1, 1)))
+    pk0, pk1 = gen_pk_batch(sk, pk_seed, ep, P)
+    seeds = jnp.asarray(np.tile(seed_to_words(seed_bytes(3)), (B, 1)))
+
+    ref = make_asym_encryptor(P)(values, pk0, pk1, seeds)
+    limbs = list(asym_encrypt_stream(values, pk0, pk1, seeds, P))
+    assert [l["prime_idx"] for l in limbs] == [0, 1]
+    for i, l in enumerate(limbs):
+        assert np.array_equal(l["c0"], np.asarray(ref["c0"])[i]), f"c0 {i}"
+        assert np.array_equal(l["c1"], np.asarray(ref["c1"])[i]), f"c1 {i}"
+    limbs_r = list(asym_encrypt_stream(values, pk0, pk1, seeds, P,
+                                       order="reverse"))
+    assert [l["prime_idx"] for l in limbs_r] == [1, 0]
+    assert np.array_equal(limbs_r[0]["c0"], limbs[1]["c0"])
+
+
 def test_streaming_reverse_order():
     from seal_embedded_tpu.ckks.stream import sym_encrypt_stream
     from seal_embedded_tpu.ops.keccak import seed_to_words
@@ -48,6 +76,41 @@ def test_streaming_reverse_order():
     limbs = list(sym_encrypt_stream(values, sk, share, err, P,
                                     order="reverse"))
     assert [l["prime_idx"] for l in limbs] == [1, 0]
+
+
+def test_lazy_intt_loaded_fast_tables(tmp_path):
+    """Decrypt oracle via the reference's lazy INTT (intt_lazy_inpl,
+    intt.c:72-129) CONSUMING loaded intt_fast_roots_*.dat files ==
+    canonical INTT decrypt, bit for bit."""
+    from seal_embedded_tpu.ckks.limbwise import make_limbscan_encryptor
+    from seal_embedded_tpu.ckks.sym import decrypt_batch
+    from seal_embedded_tpu.io import serialize
+    from seal_embedded_tpu.ops.keccak import seed_to_words
+
+    rng = np.random.default_rng(11)
+    B, n = 2, P.degree
+    values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2)).astype(np.float32))
+    sk = jnp.asarray((rng.integers(0, 3, n) - 1).astype(np.int32))
+    share = jnp.asarray(np.tile(seed_to_words(seed_bytes(2)), (B, 1)))
+    err = jnp.asarray(np.tile(seed_to_words(seed_bytes(3)), (B, 1)))
+    out = make_limbscan_encryptor(P)(values, sk, share, err)
+
+    serialize.write_intt_roots(str(tmp_path), P, fast=True)
+    loaded = {}
+    for q in P.moduli:
+        q = int(q)
+        pairs = serialize.read_ntt_roots(
+            str(tmp_path / f"intt_fast_roots_{n}_{q}.dat"), n, fast=True)
+        loaded[q] = (pairs[:, 0].copy(), pairs[:, 1].copy())
+
+    want = decrypt_batch(out["c0"], out["c1"], sk, P)
+    got = decrypt_batch(out["c0"], out["c1"], sk, P,
+                        intt_impl="lazy", loaded_intt=loaded)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    # and the decrypt really inverts: centered pte == pipeline pte mod q
+    assert np.array_equal(
+        np.asarray(got)[0] % int(P.moduli[0]),
+        np.asarray(out["pte"]) % int(P.moduli[0]))
 
 
 def test_file_loaders_roundtrip(tmp_path):
