@@ -228,8 +228,13 @@ def _all(B, iters, rng, device):
         # squeeze tiles (1024 streams) 50-87% empty.  No dd column here —
         # encode is a tiny slice of deep-chain time (sf 385.6ms vs dd
         # 375.8ms at n=16384) and the dd compile alone costs ~450s cold.
-        for n, L, Bd in ((8192, 6, 1024), (16384, 13, 1024)):
-            line = run_pipeline(default_parms(n, L), "fused", "sf", Bd,
+        # Asym deep rows golden-verify on device like every pipeline row
+        # (goldens from golden_driver asym 8192 6 / 16384 13).
+        for pipe, n, L, Bd in (("fused", 8192, 6, 1024),
+                               ("fused", 16384, 13, 1024),
+                               ("asym", 8192, 6, 1024),
+                               ("asym", 16384, 13, 512)):
+            line = run_pipeline(default_parms(n, L), pipe, "sf", Bd,
                                 max(3, iters // 2), rng, device,
                                 dd_too=False)
             _emit(**line)

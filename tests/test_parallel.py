@@ -145,3 +145,101 @@ def test_multihost_init_noop_single_process():
     from seal_embedded_tpu.parallel import multihost as mh
     assert mh.init_distributed() is False
     assert mh.init_distributed(num_processes=1) is False
+
+
+# ---------------------------------------------------------------------------
+# Falsifiable communication-volume assertions (SURVEY.md S2.3 comms rows):
+# parse the optimized (SPMD-partitioned) HLO and pin the per-device
+# collective traffic of each parallel plan against its analytic value, so
+# a code change that silently doubles all-to-all traffic FAILS here even
+# without multi-chip hardware.
+
+import re
+
+_COLL_RE = re.compile(
+    r"\b(all-to-all|collective-permute|all-gather|all-reduce|reduce-scatter)"
+    r"(?:-start)?\(")
+_SHAPE_RE = re.compile(r"\b(pred|[us]\d+|f\d+|bf16)\[([\d,]*)\]")
+_DTYPE_BYTES = {"pred": 1, "u8": 1, "s8": 1, "u16": 2, "s16": 2, "bf16": 2,
+                "f16": 2, "u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8,
+                "f64": 8}
+
+
+def _collective_volume(compiled_text):
+    """{op_kind: (count, result_bytes)} over the optimized HLO — result
+    bytes of each collective (for all-to-all tuples: the summed tuple),
+    i.e. the per-device data volume the op touches."""
+    out = {}
+    for line in compiled_text.splitlines():
+        m = _COLL_RE.search(line)
+        if m is None or "-done" in line.split("=")[-1][:30]:
+            continue
+        kind = m.group(1)
+        lhs = line.split(m.group(0))[0]
+        nbytes = 0
+        for dt, dims in _SHAPE_RE.findall(lhs):
+            size = 1
+            for d in dims.split(","):
+                if d:
+                    size *= int(d)
+            nbytes += size * _DTYPE_BYTES[dt]
+        cnt, tot = out.get(kind, (0, 0))
+        out[kind] = (cnt + 1, tot + nbytes)
+    return out
+
+
+@pytest.mark.parametrize("variant,ops,per_op_factor", [
+    # 4step: exactly TWO all-to-alls, each touching one full shard
+    # (B_loc * S u32 words) per device; wire volume is (D-1)/D of that.
+    ("4step", ("all-to-all", 2), 1.0),
+    # staged: exactly log2(D) collective-permutes of one full shard each.
+    ("staged", ("collective-permute", 3), 1.0),
+])
+def test_coeff_ntt_collective_volume(variant, ops, per_op_factor):
+    from seal_embedded_tpu.parallel.coeff_ntt import _sharded_ntt_cache
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    D, n, B = 8, 4096, 4
+    mesh = make_mesh(n_data=D, n_limb=1)
+    fn = _sharded_ntt_cache(mesh, n, Q27, "data", 1, variant)
+    x = jax.device_put(jnp.zeros((B, n), jnp.uint32),
+                       NamedSharding(mesh, P(None, "data")))
+    vol = _collective_volume(fn.lower(x).compile().as_text())
+    kind, expect_count = ops
+    shard_bytes = B * (n // D) * 4
+    count, nbytes = vol.pop(kind)
+    assert count == expect_count, (variant, count, vol)
+    assert nbytes == int(expect_count * shard_bytes * per_op_factor), \
+        (variant, nbytes, shard_bytes)
+    # No other collective may appear in the NTT plan at all.
+    assert vol == {}, vol
+
+
+def test_multihost_pipeline_collective_volume():
+    """The (host, data, limb) pipeline's collectives carry ONLY the
+    limb-axis input broadcast (pte + seed words) and the ok-flag
+    reduction — never ciphertext-sized data (the multihost.py design
+    claim: DCN/batch axes see zero collectives; adding any c0/c1-sized
+    exchange, ~L_loc*B_loc*n*4 bytes, would more than double the bound
+    asserted here)."""
+    from seal_embedded_tpu.parallel import multihost as mh
+
+    parms = Parms(degree=512, moduli=PRIMES_27BIT[:2], scale=2.0 ** 20)
+    mesh = mh.make_host_mesh(n_limb=2, n_hosts=2)
+    B, n = 8, parms.degree
+    values, sk, share, err = _rand_inputs(parms, B=B, seed=3)
+    args = mh.shard_inputs(mesh, values, sk, share, err)
+    fn = mh.make_multihost_encryptor(mesh, parms)
+    vol = _collective_volume(fn.lower(*args).compile().as_text())
+
+    total = sum(b for _, b in vol.values())
+    # Analytic: all-gather of pte over the limb axis (result rows =
+    # B / (host*data) per device, i64) + the share_words gather (u32 x16)
+    # + the pred ok reduce.  Everything else would be a regression.
+    rows = B // (mesh.shape["host"] * mesh.shape["data"])
+    analytic = rows * n * 8 + rows * 16 * 4 + rows
+    assert total <= int(analytic * 1.05) + 64, (vol, analytic)
+    # and specifically no butterfly/transpose exchange anywhere: the limb
+    # pipeline is embarrassingly parallel past the input broadcast.
+    assert "all-to-all" not in vol and "collective-permute" not in vol, vol
+    assert sum(c for c, _ in vol.values()) <= 4, vol
