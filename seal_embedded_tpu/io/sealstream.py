@@ -314,41 +314,80 @@ def load_secret_key(parms, b: bytes) -> np.ndarray:
     return data.reshape(L, n)
 
 
+def _ciphertext_members(pid: bytes, components, scale: float,
+                        is_ntt: bool) -> bytes:
+    """Ciphertext save_members (seal/ciphertext.cpp): parms_id,
+    is_ntt_form byte, size u64, poly_modulus_degree u64,
+    coeff_modulus_size u64, scale f64, correction_factor u64, nested
+    DynArray data (components concatenated, prime-major)."""
+    L, n = components[0].shape
+    members = pid
+    members += struct.pack("<B", 1 if is_ntt else 0)
+    members += struct.pack("<Q", len(components))
+    members += struct.pack("<Q", n)
+    members += struct.pack("<Q", L)
+    members += struct.pack("<d", scale)
+    members += struct.pack("<Q", 1)            # correction_factor (BGV; 1)
+    data = np.concatenate([c.reshape(-1) for c in components])
+    return members + _dynarray_save(data)
+
+
+def _ciphertext_parse(members: bytes, expect_pid: bytes):
+    assert members[:32] == expect_pid, "parms_id mismatch"
+    (is_ntt,) = struct.unpack("<B", members[32:33])
+    size, n, L = struct.unpack("<QQQ", members[33:57])
+    (scale,) = struct.unpack("<d", members[57:65])
+    (_corr,) = struct.unpack("<Q", members[65:73])
+    data, _ = _dynarray_load(members[73:])
+    assert data.size == size * L * n, (data.size, size, L, n)
+    return data.reshape(size, L, n), scale, bool(is_ntt)
+
+
 def save_public_key(parms, pk0: np.ndarray, pk1: np.ndarray,
                     scale: float = 1.0) -> bytes:
     """PublicKey::save stream: the pk is a size-2 Ciphertext in NTT form
-    under the key context.  Layout per seal/ciphertext.cpp save_members:
-    parms_id, is_ntt_form byte, size u64, poly_modulus_degree u64,
-    coeff_modulus_size u64, scale f64, correction_factor u64, nested
-    DynArray data (c0 then c1, prime-major).
+    under the key context (seal/ciphertext.cpp save_members layout).
 
     pk0/pk1: u64 (L_key, n) NTT-form components per key-context prime."""
     kmods = key_context_moduli(parms)
     L, n = pk0.shape
     assert pk0.shape == pk1.shape and L == len(kmods)
-    pid = parms_id(parms.degree, kmods)
-    members = pid
-    members += struct.pack("<B", 1)            # is_ntt_form
-    members += struct.pack("<Q", 2)            # size (2 components)
-    members += struct.pack("<Q", n)            # poly_modulus_degree
-    members += struct.pack("<Q", L)            # coeff_modulus_size
-    members += struct.pack("<d", scale)        # scale
-    members += struct.pack("<Q", 1)            # correction_factor (BGV; 1)
-    data = np.concatenate([pk0.reshape(-1), pk1.reshape(-1)])
-    members += _dynarray_save(data)
-    return _wrap(members)
+    return _wrap(_ciphertext_members(parms_id(parms.degree, kmods),
+                                     (pk0, pk1), scale, True))
 
 
 def load_public_key(parms, b: bytes) -> tuple[np.ndarray, np.ndarray]:
     members, _ = _unwrap(b)
     kmods = key_context_moduli(parms)
-    assert members[:32] == parms_id(parms.degree, kmods), "parms_id mismatch"
-    (is_ntt,) = struct.unpack("<B", members[32:33])
-    size, n, L = struct.unpack("<QQQ", members[33:57])
-    (_scale,) = struct.unpack("<d", members[57:65])
-    (_corr,) = struct.unpack("<Q", members[65:73])
-    assert is_ntt == 1 and size == 2 and L == len(kmods)
-    data, _ = _dynarray_load(members[73:])
-    assert data.size == 2 * L * n
-    half = data.reshape(2, L, n)
-    return half[0], half[1]
+    comps, _scale, is_ntt = _ciphertext_parse(
+        members, parms_id(parms.degree, kmods))
+    assert is_ntt and comps.shape[0] == 2 and comps.shape[1] == len(kmods)
+    return comps[0], comps[1]
+
+
+def save_ciphertext(parms, c0: np.ndarray, c1: np.ndarray,
+                    scale: float | None = None,
+                    is_ntt: bool = True) -> bytes:
+    """Ciphertext::save stream for a device-produced ct: a size-2
+    Ciphertext under the DATA context (the device prime chain WITHOUT the
+    special prime — fresh cts live at SEAL's first_context_data, which is
+    what the adapter's ct loader targets, fileops.cpp:492-538).  The
+    device emits per-prime NTT-form components (seal_embedded.c:180-204);
+    c0/c1: u32/u64 (L, n)."""
+    L, n = c0.shape
+    assert c0.shape == c1.shape and L == parms.nprimes and n == parms.degree
+    pid = parms_id(parms.degree, [int(q) for q in parms.moduli])
+    sc = float(parms.scale if scale is None else scale)
+    return _wrap(_ciphertext_members(
+        pid, (c0.astype(np.uint64), c1.astype(np.uint64)), sc, is_ntt))
+
+
+def load_ciphertext(parms, b: bytes):
+    """Inverse of save_ciphertext: returns (c0, c1, scale) with c0/c1
+    u64 (L, n) under the data context.  Validates the parms_id against
+    this parameter set, so streams from a different chain fail loudly."""
+    members, _ = _unwrap(b)
+    pid = parms_id(parms.degree, [int(q) for q in parms.moduli])
+    comps, scale, is_ntt = _ciphertext_parse(members, pid)
+    assert is_ntt and comps.shape[0] == 2 and comps.shape[1] == parms.nprimes
+    return comps[0], comps[1], scale

@@ -157,3 +157,50 @@ def test_adapter_emits_seal_streams_and_headers(tmp_path):
             assert f'#include "str_pk{k}_ntt_{n}_{int(q)}.h"' in addr
     skh = (tmp_path / f"str_sk_{n}.h").read_text()
     assert f"uint8_t secret_key[{n // 4}]" in skh
+
+
+def test_ciphertext_stream_roundtrip():
+    """Device-produced ct as a SEAL Ciphertext stream under the DATA
+    context (fresh cts live at first_context_data; adapter ct loader
+    fileops.cpp:492-538) — save -> load bit-round-trip, scale carried,
+    wrong-chain parms_id rejected."""
+    parms = default_parms(4096, 3)
+    rng = np.random.default_rng(5)
+    L, n = parms.nprimes, parms.degree
+    c0 = np.stack([rng.integers(0, int(q), n).astype(np.uint32)
+                   for q in parms.moduli])
+    c1 = np.stack([rng.integers(0, int(q), n).astype(np.uint32)
+                   for q in parms.moduli])
+    blob = ss.save_ciphertext(parms, c0, c1)
+    # well-formed doubly-wrapped stream: outer header size == len
+    hdr = ss.SEALHeader.unpack(blob)
+    assert hdr.size == len(blob)
+    g0, g1, scale = ss.load_ciphertext(parms, blob)
+    assert np.array_equal(g0, c0.astype(np.uint64))
+    assert np.array_equal(g1, c1.astype(np.uint64))
+    assert scale == parms.scale
+    # a truncated chain must be rejected by the embedded parms_id
+    with pytest.raises(AssertionError, match="parms_id"):
+        ss.load_ciphertext(default_parms(4096, 2), blob)
+
+
+def test_ciphertext_vs_public_key_layout_share_core():
+    """pk and ct streams use the identical Ciphertext member layout (the
+    SEAL invariant PublicKey wraps a Ciphertext): byte offsets of the
+    shared fields line up."""
+    parms = default_parms(4096, 3)
+    kmods = ss.key_context_moduli(parms)
+    rng = np.random.default_rng(6)
+    n = parms.degree
+    pk = [np.stack([rng.integers(0, int(q), n).astype(np.uint64)
+                    for q in kmods]) for _ in range(2)]
+    blob_pk = ss.save_public_key(parms, pk[0], pk[1])
+    blob_ct = ss.save_ciphertext(parms, pk[0][:3].astype(np.uint32),
+                                 pk[1][:3].astype(np.uint32))
+    # both parse with the same member parser (implicitly shared), and the
+    # fixed-width header region (after parms_id) has the same layout
+    for blob, L in ((blob_pk, len(kmods)), (blob_ct, 3)):
+        members = blob[16:]
+        is_ntt, = struct.unpack("<B", members[32:33])
+        size, pn, pl = struct.unpack("<QQQ", members[33:57])
+        assert (is_ntt, size, pn, pl) == (1, 2, n, L)
