@@ -215,8 +215,12 @@ def _all(B, iters, rng, device):
     p4096 = default_parms(4096, 3)
     matrix = {}
 
+    ceilings = _calibrate(iters, device)
+    for k, v in ceilings.items():
+        matrix[f"vpu_calib_{k}_vops_per_s"] = round(v / 1e9, 1)
+
     for what in ("ntt", "keccak", "encode", "sample", "index_map"):
-        line = _component(what, p4096, B, iters, rng, device)
+        line = _component(what, p4096, B, iters, rng, device, ceilings)
         matrix[line["metric"]] = line["value"]
 
     asym = run_pipeline(p4096, "asym", "sf", B, iters, rng, device)
@@ -336,7 +340,31 @@ def _verify_only(parms, device):
           1.0, {"verify": marker, "device": device})
 
 
-def _component(what, parms, B, iters, rng, device):
+def _calibrate(iters, device):
+    """Measured VPU ceilings for the hot op mixes (ops/kernels/calibrate):
+    emits one line per mix and returns {mix: vops_per_s} so component
+    rows can carry calibrated (attainable) SOL fractions alongside the
+    theoretical ones."""
+    from seal_embedded_tpu.ops.kernels.calibrate import ops_per_iter, run_mix
+    ceilings = {}
+    K = 200_000
+    for mix in ("keccak", "ntt"):
+        fn = run_mix(mix, K)
+        avg_s, compile_s, _ = _time(fn, (), max(iters, 10))
+        vops = K * ops_per_iter(mix) / avg_s
+        ceilings[mix] = vops
+        _emit(f"vpu_calib_{mix}_vops_per_s", vops / 1e9, "Gvop/s",
+              vops / VPU_OPS_PER_S,
+              {"avg_ms": round(avg_s * 1000, 3),
+               "compile_s": round(compile_s, 1), "device": device,
+               "ops_per_iter": ops_per_iter(mix), "iters": K,
+               "note": "sustained source-convention u32 vector ops/s for "
+                       "this mix; vs_baseline = fraction of the 4-ops/"
+                       "cycle/lane datasheet bound"})
+    return ceilings
+
+
+def _component(what, parms, B, iters, rng, device, ceilings=None):
     """Component benchmarks, mirroring the reference's bench suite
     (device/bench/bench_{ntt,sample,ifft,index_map}.c), each with its
     speed-of-light context where the op count is pinned."""
@@ -348,6 +376,10 @@ def _component(what, parms, B, iters, rng, device):
     L = parms.nprimes
     moduli = tuple(int(q) for q in parms.moduli)
 
+    if what == "calibrate":
+        _calibrate(iters, device)
+        return None
+
     if what == "ntt":
         from seal_embedded_tpu.ops.kernels.ntt import ntt_coeff_major
         x = jnp.asarray(np.stack(
@@ -357,13 +389,16 @@ def _component(what, parms, B, iters, rng, device):
         logn = n.bit_length() - 1
         bflys = L * B * (n // 2) * logn / avg_s
         sol = VPU_OPS_PER_S / NTT_OPS_PER_BFLY
-        return _emit(
-            f"ntt_n{n}_butterflies_per_s", bflys / 1e9, "Gbfly/s",
-            avg_s * 1000,
-            {"avg_ms": round(avg_s * 1000, 3), "L": L, "B": B,
-             "compile_s": round(compile_s, 1), "device": device,
-             "sol_gbfly_per_s": round(sol / 1e9, 1),
-             "sol_frac": round(bflys / sol, 3)})
+        extra = {"avg_ms": round(avg_s * 1000, 3), "L": L, "B": B,
+                 "compile_s": round(compile_s, 1), "device": device,
+                 "sol_gbfly_per_s": round(sol / 1e9, 1),
+                 "sol_frac": round(bflys / sol, 3)}
+        if ceilings and "ntt" in ceilings:
+            cal = ceilings["ntt"] / NTT_OPS_PER_BFLY
+            extra["sol_calibrated_gbfly_per_s"] = round(cal / 1e9, 1)
+            extra["sol_frac_calibrated"] = round(bflys / cal, 3)
+        return _emit(f"ntt_n{n}_butterflies_per_s", bflys / 1e9, "Gbfly/s",
+                     avg_s * 1000, extra)
     if what == "keccak":
         from seal_embedded_tpu.ops.keccak import shake256_words
         Bk = max(B, 1024)  # full 1024-stream tiles
@@ -376,16 +411,20 @@ def _component(what, parms, B, iters, rng, device):
         perms = Bk * nblocks / avg_s
         # 10.3k vreg-ops per 1024-stream tile-permutation
         sol = VPU_OPS_PER_S / 10.3e3
-        return _emit(
-            "keccakf1600_perms_per_s", perms / 1e6, "Mperm/s",
-            avg_s * 1000,
-            {"avg_ms": round(avg_s * 1000, 3), "B": Bk, "nblocks": nblocks,
-             "compile_s": round(compile_s, 1), "device": device,
-             "sol_mperm_per_s": round(sol / 1e6, 1),
-             "sol_frac": round(perms / sol, 3),
-             "note": "sequential 121-block squeeze at one 1024-stream "
-                     "tile: latency-bound by the XOF block chain, not "
-                     "the parallel-perm roofline"})
+        extra = {"avg_ms": round(avg_s * 1000, 3), "B": Bk,
+                 "nblocks": nblocks, "compile_s": round(compile_s, 1),
+                 "device": device,
+                 "sol_mperm_per_s": round(sol / 1e6, 1),
+                 "sol_frac": round(perms / sol, 3),
+                 "note": "sequential 121-block squeeze at one 1024-stream "
+                         "tile: latency-bound by the XOF block chain, not "
+                         "the parallel-perm roofline"}
+        if ceilings and "keccak" in ceilings:
+            cal = ceilings["keccak"] / 10.3e3
+            extra["sol_calibrated_mperm_per_s"] = round(cal / 1e6, 1)
+            extra["sol_frac_calibrated"] = round(perms / cal, 3)
+        return _emit("keccakf1600_perms_per_s", perms / 1e6, "Mperm/s",
+                     avg_s * 1000, extra)
     if what == "encode":
         from seal_embedded_tpu.ops.encode import encode_any
         values = jnp.asarray(rng.uniform(-1, 1, (B, n // 2))

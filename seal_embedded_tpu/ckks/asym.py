@@ -136,9 +136,16 @@ def asym_encrypt_fused(values, pk0, pk1, seed_words, parms: Parms,
     e1_lbn = jnp.broadcast_to(_signed_to_modq(e1[None], mods_b), (L, B, n))
     pte_lbn = ma.reduce_pte_i64(pte[None], mods_b)
 
-    stacked = jnp.concatenate([u_lbn, e1_lbn, pte_lbn], axis=0)  # (3L, B, n)
-    ntts = _ntt_all_limbs(stacked, moduli * 3)
-    ntt_u, ntt_e1, ntt_pte = ntts[:L], ntts[L:2 * L], ntts[2 * L:]
+    # Stack the three polys along the BATCH axis, not the limb axis: the
+    # per-limb modulus (and root table) is shared by u/e1/pte, so one
+    # (L, 3B, n) kernel call uses one table set — tripling the limb axis
+    # instead would ship 3x redundant (L, n, B_TILE) table constants
+    # (327 MB at n=16384/L=13, which overflows the remote-compile path).
+    stacked = jnp.concatenate([u_lbn, e1_lbn, pte_lbn], axis=1)  # (L, 3B, n)
+    ntts = _ntt_all_limbs(stacked, moduli)
+    ntt_u = ntts[:, :B]
+    ntt_e1 = ntts[:, B:2 * B]
+    ntt_pte = ntts[:, 2 * B:]
 
     c1 = ma.add_mod(ma.mul_mod(pk1[:, None, :], ntt_u, mods_b), ntt_e1,
                     mods_b)

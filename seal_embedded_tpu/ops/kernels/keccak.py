@@ -147,6 +147,67 @@ def absorb_planes(seed_words, ctr_words):
 # paid per 136-byte block.  16 bounds the out-block VMEM at ~2.2 MB.
 CHUNK = 16
 
+# Tiles per grid step for single-block calls (the samplers' rejection
+# QUEUES: thousands of independent (seed, counter) streams squeezing one
+# 136-byte block each — e.g. (B=1024, cap=528) at n=16384 is 528 tiles).
+# Without chunking each tile is its own grid step and the fixed per-step
+# cost dominates; with it, one step absorbs+permutes CHUNK_TILES
+# independent tiles under an in-kernel fori.
+CHUNK_TILES = 8
+
+
+def _kernel_1blk(seed_ref, ctr_ref, out_ref, *, ntile: int):
+    """Grid: (ngroups,).  seed (CT,16,8,128); ctr (CT,2,8,128);
+    out (CT,34,8,128); ntile <= CHUNK_TILES live tiles in this group."""
+    def body(j, _):
+        st = absorb_planes([seed_ref[j, w] for w in range(16)],
+                           [ctr_ref[j, 0], ctr_ref[j, 1]])
+        lo = [st[2 * k] for k in range(25)]
+        hi = [st[2 * k + 1] for k in range(25)]
+        lo, hi = _permute(lo, hi)
+        rate = lo[:17] + hi[:17]
+        rows = [rate[k // 2] if k % 2 == 0 else rate[17 + k // 2]
+                for k in range(34)]
+        out_ref[j] = jnp.stack(rows, axis=0)
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntile), body, 0,
+                      unroll=False)
+
+
+@lru_cache(maxsize=8)
+def _squeeze_call_1blk(ntiles: int, interpret: bool):
+    _0 = np.int32(0)
+    ct = min(CHUNK_TILES, ntiles)
+    ngroups = -(-ntiles // ct)
+    last = ntiles - (ngroups - 1) * ct
+
+    def kern(seed_ref, ctr_ref, out_ref):
+        if last == ct:
+            _kernel_1blk(seed_ref, ctr_ref, out_ref, ntile=ct)
+        else:
+            @pl.when(pl.program_id(0) < ngroups - 1)
+            def _():
+                _kernel_1blk(seed_ref, ctr_ref, out_ref, ntile=ct)
+
+            @pl.when(pl.program_id(0) == ngroups - 1)
+            def _():
+                _kernel_1blk(seed_ref, ctr_ref, out_ref, ntile=last)
+
+    return pl.pallas_call(
+        kern,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec((ct, 16, _TSUB, _TLANE), lambda g: (g, _0, _0, _0)),
+            pl.BlockSpec((ct, 2, _TSUB, _TLANE), lambda g: (g, _0, _0, _0)),
+        ],
+        out_specs=pl.BlockSpec((ct, 34, _TSUB, _TLANE),
+                               lambda g: (g, _0, _0, _0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (ngroups * ct, 34, _TSUB, _TLANE), jnp.uint32),
+        interpret=interpret,
+    )
+
 
 def _kernel(seed_ref, ctr_ref, out_ref, st_ref, *, nchunk: int):
     """Grid: (ntiles, nchunks).  seed (1,16,8,128); ctr (1,2,8,128);
@@ -240,8 +301,21 @@ def shake256_words_kernel(seed_words, counters, nblocks: int,
     ctr = ctr.reshape(ntiles, T_STREAMS, 2).swapaxes(1, 2) \
              .reshape(ntiles, 2, _TSUB, _TLANE)
 
-    out = _squeeze_call(ntiles, nblocks, interpret)(sw, ctr)
-    out = out[:, : nblocks * 34]  # drop rows of a padded final chunk
+    if nblocks == 1 and ntiles > 1:
+        # Independent 1-block streams (sampler queues): chunk TILES per
+        # grid step instead of blocks, amortizing the per-step cost.
+        ct = min(CHUNK_TILES, ntiles)
+        ngroups = -(-ntiles // ct)
+        tpad = ngroups * ct - ntiles
+        if tpad:
+            sw = jnp.concatenate(
+                [sw, jnp.zeros((tpad,) + sw.shape[1:], U32)])
+            ctr = jnp.concatenate(
+                [ctr, jnp.zeros((tpad,) + ctr.shape[1:], U32)])
+        out = _squeeze_call_1blk(ntiles, interpret)(sw, ctr)[:ntiles]
+    else:
+        out = _squeeze_call(ntiles, nblocks, interpret)(sw, ctr)
+        out = out[:, : nblocks * 34]  # drop rows of a padded final chunk
     # (ntiles, nblocks*34, 8, 128) -> (N, nblocks*34)
     out = out.reshape(ntiles, nblocks * 34, T_STREAMS).swapaxes(1, 2) \
              .reshape(ntiles * T_STREAMS, nblocks * 34)
