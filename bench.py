@@ -351,7 +351,8 @@ def _calibrate(iters, device):
     for mix in ("keccak", "ntt"):
         fn = run_mix(mix, K)
         avg_s, compile_s, _ = _time(fn, (), max(iters, 10))
-        vops = K * ops_per_iter(mix) / avg_s
+        # element-ops/s: the loop issues vector ops on (8,128) tiles
+        vops = K * ops_per_iter(mix) * 1024 / avg_s
         ceilings[mix] = vops
         _emit(f"vpu_calib_{mix}_vops_per_s", vops / 1e9, "Gvop/s",
               vops / VPU_OPS_PER_S,

@@ -55,10 +55,12 @@ def gen_pk_batch(sk_signed, pk_seed_words, ep, parms: Parms):
     """
     n = parms.degree
     mods, op, quot = _limb_consts(parms)
+    qcap = sp.queue_cap_for(n, parms.moduli)
 
     def step(counter, limb):
         mod, op_l, quot_l = limb
-        a, counter, _ = sp.sample_uniform(pk_seed_words, counter, n, mod)
+        a, counter, _ = sp.sample_uniform(pk_seed_words, counter, n, mod,
+                                          queue_cap=qcap)
         a = a[0]
         s_modq = sp.ternary_to_modq_any(sk_signed, mod)
         ntt_s = ntt_with_tables(s_modq, op_l, quot_l, mod)

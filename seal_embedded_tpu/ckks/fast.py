@@ -115,16 +115,47 @@ def sym_encrypt_fused(values, sk_signed, share_words, err_words,
 
     def step(carry, mod):
         counter, ok = carry
-        a, counter, ok_u = sp.sample_uniform(share_words, counter, n, mod)
+        a, counter, ok_u = sp.sample_uniform(
+            share_words, counter, n, mod,
+            queue_cap=sp.queue_cap_for(n, parms.moduli))
         return (counter, ok & ok_u), a
 
     (counter, ok), a = jax.lax.scan(
         step, (sp.counter_zero((B,)), ok_encode), mods, length=L)
 
     # --- c0 = -a * ntt(s) + ntt(pte) mod q, all limbs at once ---
-    as_ = ma.mul_mod(a, ntt_s[:, None, :], mods_b)
-    c0 = ma.add_mod(ma.neg_mod(as_, mods_b), ntt_pte, mods_b)
+    c0 = _combine_c0(pte_red, a, ntt_s, ntt_pte, mods_b, moduli)
     return {"c0": c0, "c1": a, "pte": pte, "pt": pt, "ok": ok}
+
+
+def _combine_c0(pte_red, a, ntt_s, ntt_pte, mods_b, moduli):
+    """c0 = add_mod(neg_mod(mul_mod(a, ntt_s)), ntt(pte)).  On the kernel
+    path the multiply/neg/add run in the NTT kernel's epilogue while each
+    tile is still in VMEM (ntt_pte is recomputed fused — the separate
+    `ntt_pte` value feeds only the jnp fallback), saving the extra XLA
+    elementwise pass over (L, B, n).  Disable with SEAL_TPU_FUSE=0.
+    Bit-identical either way (Shoup vs Barrett forms of the same exact
+    canonical values; asserted in tests/test_kernels.py)."""
+    import os
+    L, B, n = a.shape
+    # n=16384 OOMs VMEM with the extra a-input/s-table buffers (Mosaic
+    # pads (n, 1) blocks to 128 lanes; measured 144.7M of 128M) — the
+    # biggest degree keeps the XLA epilogue.
+    if (ntt_impl() == "kernel" and n <= 8192
+            and os.environ.get("SEAL_TPU_FUSE", "1") == "1"):
+        from ..ops.kernels.ntt import ntt_coeff_major_fused_sym
+        bt = 128
+        pad = (-B) % bt
+        x = jnp.swapaxes(pte_red, 1, 2)                     # (L, n, B)
+        at = jnp.swapaxes(a, 1, 2)
+        if pad:
+            zeros = jnp.zeros((L, n, pad), jnp.uint32)
+            x = jnp.concatenate([x, zeros], axis=-1)
+            at = jnp.concatenate([at, zeros], axis=-1)
+        c0 = ntt_coeff_major_fused_sym(x, at, ntt_s, moduli)
+        return jnp.swapaxes(c0[..., :B], 1, 2)
+    as_ = ma.mul_mod(a, ntt_s[:, None, :], mods_b)
+    return ma.add_mod(ma.neg_mod(as_, mods_b), ntt_pte, mods_b)
 
 
 @lru_cache(maxsize=16)

@@ -43,9 +43,10 @@ def _limb_stack(parms: Parms):
 
 
 def _one_prime(pte, sk_signed, share_words, counter, mod: ma.Mod, op, quot,
-               n: int):
+               n: int, qcap: int | None = None):
     """c0, c1 for one prime given traced per-limb constants."""
-    a, counter, ok = sp.sample_uniform(share_words, counter, n, mod)
+    a, counter, ok = sp.sample_uniform(share_words, counter, n, mod,
+                                       queue_cap=qcap)
     s_modq = jnp.where(sk_signed < 0, mod.q - 1,
                        sk_signed.astype(jnp.uint32)).astype(jnp.uint32)
     ntt_s = ntt_with_tables(s_modq, op, quot, mod)
@@ -81,13 +82,15 @@ def sym_encrypt_from_pte(pte, sk_signed, share_words, parms: Parms,
         raise ValueError(f"unknown order {order!r}")
     mods = ma.Mod(*(jnp.asarray(f) for f in mods))
     ok_encode = ok_in if ok_in is not None else jnp.ones((B,), bool)
+    qcap = sp.queue_cap_for(n, parms.moduli)
 
     if layout == "reference":
         def step(carry, limb):
             counter, ok = carry
             mod, op_l, quot_l = limb
             c0, c1, counter, ok_u = _one_prime(
-                pte, sk_signed, share_words, counter, mod, op_l, quot_l, n)
+                pte, sk_signed, share_words, counter, mod, op_l, quot_l, n,
+                qcap)
             return (counter, ok & ok_u), (c0, c1)
 
         (counter, ok), (c0, c1) = jax.lax.scan(
@@ -103,7 +106,8 @@ def sym_encrypt_from_pte(pte, sk_signed, share_words, parms: Parms,
         def limb_fn(mod, op_l, quot_l, counter0):
             counter = jnp.broadcast_to(counter0, (B, 2))
             c0, c1, counter, ok_u = _one_prime(
-                pte, sk_signed, share_words, counter, mod, op_l, quot_l, n)
+                pte, sk_signed, share_words, counter, mod, op_l, quot_l, n,
+                qcap)
             return c0, c1, ok_u
 
         c0, c1, ok_u = jax.vmap(limb_fn)(mods, op, quot, counters)
@@ -167,7 +171,8 @@ def expand_c1(share_words, parms: Parms, layout: str = "reference",
 
         def limb_fn(mod, counter0):
             counter = jnp.broadcast_to(counter0, (B, 2))
-            a, _, ok_u = sp.sample_uniform(share_words, counter, n, mod)
+            a, _, ok_u = sp.sample_uniform(share_words, counter, n, mod,
+                                           queue_cap=qcap)
             return a, ok_u
 
         c1, ok_u = jax.vmap(limb_fn)(mods, counters)

@@ -38,7 +38,9 @@ def _limb_step(parms: Parms):
     n = parms.degree
 
     def step(pte, sk_signed, share_words, counter, mod, op, quot):
-        a, counter, ok = sp.sample_uniform(share_words, counter, n, mod)
+        a, counter, ok = sp.sample_uniform(
+            share_words, counter, n, mod,
+            queue_cap=sp.queue_cap_for(n, parms.moduli))
         s_modq = sp.ternary_to_modq_any(sk_signed, mod)
         ntt_s = ntt_with_tables(s_modq, op, quot, mod)
         c0 = ma.neg_mod(ma.mul_mod(a, ntt_s[None, :], mod), mod)

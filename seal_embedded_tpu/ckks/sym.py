@@ -70,7 +70,8 @@ def sym_encrypt_batch(values, sk_signed, share_seed_words, err_seed_words,
     c0_list, c1_list = [], []
     for q in parms.moduli:
         a, share_counter, ok_u = sp.sample_uniform(
-            share_seed_words, share_counter, n, q)
+            share_seed_words, share_counter, n, q,
+            queue_cap=sp.queue_cap_for(n, parms.moduli))
         s_modq = sp.ternary_to_modq(sk_signed, q)
         ntt_s = do_ntt(s_modq, q)                       # (n,)
         as_ = ma.mul_mod(a, ntt_s[None, :], q)          # a * ntt(s)

@@ -94,18 +94,29 @@ def _calib_call(mix: str, iters: int, interpret: bool):
     q = np.uint32(1053818881)
     two_q = np.uint32(2 * 1053818881)
 
+    UNROLL = 8
+    assert iters % UNROLL == 0
+
     def kernel(x_ref, o_ref):
         chains = [x_ref[i] for i in range(_NCHAIN)]
 
         def body(i, chains):
-            if mix == "keccak":
-                nc, _ = _keccak_mix_body(chains, i.astype(U32))
-            else:
-                nc, _ = _ntt_mix_body(chains, q, two_q)
-            return tuple(nc)
+            # Mosaic fori supports only unroll=1/full: unroll by hand so
+            # loop-control overhead stays <2% of the measured ops.
+            del i  # scalar i32->u32 convert recurses in Mosaic lowering;
+            # a constant salt is fine (the carried chains keep every
+            # iteration data-dependent, nothing folds)
+            chains = list(chains)
+            for _ in range(UNROLL):
+                if mix == "keccak":
+                    chains, _n = _keccak_mix_body(
+                        chains, np.uint32(0x9E3779B9))
+                else:
+                    chains, _n = _ntt_mix_body(chains, q, two_q)
+            return tuple(chains)
 
-        chains = jax.lax.fori_loop(np.int32(0), np.int32(iters), body,
-                                   tuple(chains), unroll=8)
+        chains = jax.lax.fori_loop(np.int32(0), np.int32(iters // UNROLL),
+                                   body, tuple(chains), unroll=False)
         for i in range(_NCHAIN):
             o_ref[i] = chains[i]
 

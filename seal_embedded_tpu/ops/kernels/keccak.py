@@ -114,6 +114,57 @@ def _permute(lo, hi):
     return lo, hi
 
 
+def _permute_staged(src, dst):
+    """24 Keccak-f rounds with the state staged through VMEM refs,
+    ping-ponging src <-> dst each round (even round count: result lands
+    back in ``src``).
+
+    Motivation (measured r5): the register-resident ``_permute`` keeps
+    ~85 u32 vregs live across a 10.5k-op straight line — far past the
+    register file — so Mosaic spills roughly one slot per value and the
+    squeeze runs at ~16.4 us/tile-perm against a calibrated 7.2 us ALU
+    floor (1.53 vops/cycle sustained for this mix).  Here each round is
+    two short passes with bounded live sets (theta column fold: ~12
+    live; row pass: d(10) + row(10) + temps ~= 28), trading ~150 VMEM
+    vreg ld/st per round for the spill traffic and its scheduling
+    stalls.  Bit-identical dataflow."""
+    for ridx, rc in enumerate(_RC):
+        a, b = (src, dst) if ridx % 2 == 0 else (dst, src)
+        clo = [None] * 5
+        chi_ = [None] * 5
+        for x in range(5):
+            lo = a[2 * x]
+            hi = a[2 * x + 1]
+            for y in range(1, 5):
+                lo = lo ^ a[2 * (x + 5 * y)]
+                hi = hi ^ a[2 * (x + 5 * y) + 1]
+            clo[x] = lo
+            chi_[x] = hi
+        dlo = [None] * 5
+        dhi = [None] * 5
+        for x in range(5):
+            rl, rh = _rol_pair(clo[(x + 1) % 5], chi_[(x + 1) % 5], 1)
+            dlo[x] = clo[(x - 1) % 5] ^ rl
+            dhi[x] = chi_[(x - 1) % 5] ^ rh
+        for y in range(5):
+            bl = [None] * 5
+            bh = [None] * 5
+            for x in range(5):
+                i = PI_INV[x + 5 * y]
+                xi = i % 5
+                tl = a[2 * i] ^ dlo[xi]
+                th = a[2 * i + 1] ^ dhi[xi]
+                bl[x], bh[x] = _rol_pair(tl, th, _RHO[i])
+            for x in range(5):
+                nl = bl[x] ^ (~bl[(x + 1) % 5] & bl[(x + 2) % 5])
+                nh = bh[x] ^ (~bh[(x + 1) % 5] & bh[(x + 2) % 5])
+                if x == 0 and y == 0:
+                    nl = nl ^ jnp.asarray(np.uint32(rc & 0xFFFFFFFF), U32)
+                    nh = nh ^ jnp.asarray(np.uint32(rc >> 32), U32)
+                b[2 * (x + 5 * y)] = nl
+                b[2 * (x + 5 * y) + 1] = nh
+
+
 def absorb_planes(seed_words, ctr_words):
     """Post-absorb state words for shake256(seed||counter_le8) as a list of
     50 vreg planes (word 2k = lane k lo, 2k+1 = lane k hi).
@@ -156,18 +207,25 @@ CHUNK = 16
 CHUNK_TILES = 8
 
 
-def _kernel_1blk(seed_ref, ctr_ref, out_ref, *, ntile: int):
+def _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref, *,
+                 ntile: int, staged: bool):
     """Grid: (ngroups,).  seed (CT,16,8,128); ctr (CT,2,8,128);
     out (CT,34,8,128); ntile <= CHUNK_TILES live tiles in this group."""
     def body(j, _):
         st = absorb_planes([seed_ref[j, w] for w in range(16)],
                            [ctr_ref[j, 0], ctr_ref[j, 1]])
-        lo = [st[2 * k] for k in range(25)]
-        hi = [st[2 * k + 1] for k in range(25)]
-        lo, hi = _permute(lo, hi)
-        rate = lo[:17] + hi[:17]
-        rows = [rate[k // 2] if k % 2 == 0 else rate[17 + k // 2]
-                for k in range(34)]
+        if staged:
+            for w in range(50):
+                st_ref[w] = st[w]
+            _permute_staged(st_ref, st2_ref)
+            rows = [st_ref[k] for k in range(34)]
+        else:
+            lo = [st[2 * k] for k in range(25)]
+            hi = [st[2 * k + 1] for k in range(25)]
+            lo, hi = _permute(lo, hi)
+            rate = lo[:17] + hi[:17]
+            rows = [rate[k // 2] if k % 2 == 0 else rate[17 + k // 2]
+                    for k in range(34)]
         out_ref[j] = jnp.stack(rows, axis=0)
         return 0
 
@@ -176,23 +234,26 @@ def _kernel_1blk(seed_ref, ctr_ref, out_ref, *, ntile: int):
 
 
 @lru_cache(maxsize=8)
-def _squeeze_call_1blk(ntiles: int, interpret: bool):
+def _squeeze_call_1blk(ntiles: int, interpret: bool, staged: bool):
     _0 = np.int32(0)
     ct = min(CHUNK_TILES, ntiles)
     ngroups = -(-ntiles // ct)
     last = ntiles - (ngroups - 1) * ct
 
-    def kern(seed_ref, ctr_ref, out_ref):
+    def kern(seed_ref, ctr_ref, out_ref, st_ref, st2_ref):
         if last == ct:
-            _kernel_1blk(seed_ref, ctr_ref, out_ref, ntile=ct)
+            _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
+                         ntile=ct, staged=staged)
         else:
             @pl.when(pl.program_id(0) < ngroups - 1)
             def _():
-                _kernel_1blk(seed_ref, ctr_ref, out_ref, ntile=ct)
+                _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
+                             ntile=ct, staged=staged)
 
             @pl.when(pl.program_id(0) == ngroups - 1)
             def _():
-                _kernel_1blk(seed_ref, ctr_ref, out_ref, ntile=last)
+                _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
+                             ntile=last, staged=staged)
 
     return pl.pallas_call(
         kern,
@@ -205,14 +266,19 @@ def _squeeze_call_1blk(ntiles: int, interpret: bool):
                                lambda g: (g, _0, _0, _0)),
         out_shape=jax.ShapeDtypeStruct(
             (ngroups * ct, 34, _TSUB, _TLANE), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32),
+                        pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32)],
         interpret=interpret,
     )
 
 
-def _kernel(seed_ref, ctr_ref, out_ref, st_ref, *, nchunk: int):
+def _kernel(seed_ref, ctr_ref, out_ref, st_ref, st2_ref, *, nchunk: int,
+            staged: bool):
     """Grid: (ntiles, nchunks).  seed (1,16,8,128); ctr (1,2,8,128);
     out (1,CHUNK*34,8,128) per chunk (nchunk <= CHUNK blocks of it live);
-    st scratch (50,8,128) persists over chunks."""
+    st scratch (50,8,128) persists over chunks (st2: staged ping-pong
+    buffer).  Planes are word-ordered, so the 136-byte rate is exactly
+    planes [0, 34)."""
     @pl.when(pl.program_id(1) == 0)
     def _():
         st = absorb_planes([seed_ref[0, w] for w in range(16)],
@@ -221,15 +287,19 @@ def _kernel(seed_ref, ctr_ref, out_ref, st_ref, *, nchunk: int):
             st_ref[w] = st[w]
 
     def body(j, _):
-        lo = [st_ref[2 * k] for k in range(25)]
-        hi = [st_ref[2 * k + 1] for k in range(25)]
-        lo, hi = _permute(lo, hi)
-        for k in range(25):
-            st_ref[2 * k] = lo[k]
-            st_ref[2 * k + 1] = hi[k]
-        rate = lo[:17] + hi[:17]  # interleave below
-        rows = [rate[k // 2] if k % 2 == 0 else rate[17 + k // 2]
-                for k in range(34)]
+        if staged:
+            _permute_staged(st_ref, st2_ref)
+            rows = [st_ref[k] for k in range(34)]
+        else:
+            lo = [st_ref[2 * k] for k in range(25)]
+            hi = [st_ref[2 * k + 1] for k in range(25)]
+            lo, hi = _permute(lo, hi)
+            for k in range(25):
+                st_ref[2 * k] = lo[k]
+                st_ref[2 * k + 1] = hi[k]
+            rate = lo[:17] + hi[:17]  # interleave below
+            rows = [rate[k // 2] if k % 2 == 0 else rate[17 + k // 2]
+                    for k in range(34)]
         out_ref[0, pl.ds(j * jnp.int32(34), 34)] = jnp.stack(rows, axis=0)
         return 0
 
@@ -237,24 +307,75 @@ def _kernel(seed_ref, ctr_ref, out_ref, st_ref, *, nchunk: int):
                       unroll=False)
 
 
+def _kernel_carry(seed_ref, ctr_ref, out_ref, st_ref, st2_ref, *,
+                  nchunk: int):
+    """Squeeze variant carrying the 50 state planes through the fori
+    CARRY (register-allocated where possible) instead of round-tripping
+    VMEM per block; st_ref persists the state across chunk grid steps
+    only.  A/B experiment for the state-traffic share of the squeeze."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        st = absorb_planes([seed_ref[0, w] for w in range(16)],
+                           [ctr_ref[0, 0], ctr_ref[0, 1]])
+        for w in range(50):
+            st_ref[w] = st[w]
+
+    def body(j, carry):
+        lo, hi = list(carry[:25]), list(carry[25:])
+        lo, hi = _permute(lo, hi)
+        rate = lo[:17] + hi[:17]
+        rows = [rate[k // 2] if k % 2 == 0 else rate[17 + k // 2]
+                for k in range(34)]
+        out_ref[0, pl.ds(j * jnp.int32(34), 34)] = jnp.stack(rows, axis=0)
+        return tuple(lo) + tuple(hi)
+
+    init = tuple(st_ref[2 * k] for k in range(25)) \
+        + tuple(st_ref[2 * k + 1] for k in range(25))
+    final = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunk), body, init,
+                              unroll=False)
+    for k in range(25):
+        st_ref[2 * k] = final[k]
+        st_ref[2 * k + 1] = final[25 + k]
+
+
+def keccak_staged() -> bool:
+    """Use the VMEM-staged permute (see _permute_staged) in the squeeze
+    kernels.  Measured v5e (r5): bit-exact but SLOWER than the
+    register-resident form (squeeze 23.5 vs 16.5 us/perm; queue 29.9 vs
+    22.1) — the ~150 explicit VMEM vreg ld/st per round cost more than
+    the spill traffic they replace, so the default stays off; kept as a
+    measured data point.  Override with SEAL_TPU_KECCAK_STAGED=1."""
+    import os
+    return os.environ.get("SEAL_TPU_KECCAK_STAGED", "0") == "1"
+
+
 @lru_cache(maxsize=8)
-def _squeeze_call(ntiles: int, nblocks: int, interpret: bool):
+def _squeeze_call(ntiles: int, nblocks: int, interpret: bool, staged: bool,
+                  carry: bool = False):
     _0 = np.int32(0)
     chunk = min(CHUNK, nblocks)  # 1-block calls must not write 16x padding
     nchunks = -(-nblocks // chunk)
     last = nblocks - (nchunks - 1) * chunk
 
-    def kern(seed_ref, ctr_ref, out_ref, st_ref):
+    def kern(seed_ref, ctr_ref, out_ref, st_ref, st2_ref):
+        def k1(nchunk):
+            if carry and not staged:
+                _kernel_carry(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
+                              nchunk=nchunk)
+            else:
+                _kernel(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
+                        nchunk=nchunk, staged=staged)
+
         if last == chunk:
-            _kernel(seed_ref, ctr_ref, out_ref, st_ref, nchunk=chunk)
+            k1(chunk)
         else:
             @pl.when(pl.program_id(1) < nchunks - 1)
             def _():
-                _kernel(seed_ref, ctr_ref, out_ref, st_ref, nchunk=chunk)
+                k1(chunk)
 
             @pl.when(pl.program_id(1) == nchunks - 1)
             def _():
-                _kernel(seed_ref, ctr_ref, out_ref, st_ref, nchunk=last)
+                k1(last)
 
     return pl.pallas_call(
         kern,
@@ -267,7 +388,8 @@ def _squeeze_call(ntiles: int, nblocks: int, interpret: bool):
                                lambda t, j: (t, j, _0, _0)),
         out_shape=jax.ShapeDtypeStruct(
             (ntiles, nchunks * chunk * 34, _TSUB, _TLANE), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32),
+                        pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32)],
         interpret=interpret,
     )
 
@@ -301,6 +423,7 @@ def shake256_words_kernel(seed_words, counters, nblocks: int,
     ctr = ctr.reshape(ntiles, T_STREAMS, 2).swapaxes(1, 2) \
              .reshape(ntiles, 2, _TSUB, _TLANE)
 
+    staged = keccak_staged()
     if nblocks == 1 and ntiles > 1:
         # Independent 1-block streams (sampler queues): chunk TILES per
         # grid step instead of blocks, amortizing the per-step cost.
@@ -312,9 +435,12 @@ def shake256_words_kernel(seed_words, counters, nblocks: int,
                 [sw, jnp.zeros((tpad,) + sw.shape[1:], U32)])
             ctr = jnp.concatenate(
                 [ctr, jnp.zeros((tpad,) + ctr.shape[1:], U32)])
-        out = _squeeze_call_1blk(ntiles, interpret)(sw, ctr)[:ntiles]
+        out = _squeeze_call_1blk(ntiles, interpret, staged)(sw, ctr)[:ntiles]
     else:
-        out = _squeeze_call(ntiles, nblocks, interpret)(sw, ctr)
+        import os
+        carry = os.environ.get("SEAL_TPU_KECCAK_CARRY", "0") == "1"
+        out = _squeeze_call(ntiles, nblocks, interpret, staged,
+                            carry)(sw, ctr)
         out = out[:, : nblocks * 34]  # drop rows of a padded final chunk
     # (ntiles, nblocks*34, 8, 128) -> (N, nblocks*34)
     out = out.reshape(ntiles, nblocks * 34, T_STREAMS).swapaxes(1, 2) \

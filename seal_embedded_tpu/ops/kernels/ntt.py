@@ -75,10 +75,19 @@ def _permute_table(tab: np.ndarray) -> np.ndarray:
     return out
 
 
-def _make_ntt_kernel(n: int, logn: int):
+def _make_ntt_kernel(n: int, logn: int, fused_sym: bool = False):
+    """fused_sym: epilogue computes c0 = -a*s + ntt(x) in-kernel
+    (ckks_sym.c:199-301's per-prime combine) from two extra inputs —
+    a (c1) tiles and the lane-broadcast Shoup pair of ntt(s) — saving
+    the separate XLA elementwise pass over the (L, B, n) arrays."""
     m = n // 8
 
-    def kernel(q_ref, op_hbm, quot_hbm, x_ref, o_ref, op_vm, quot_vm, sems):
+    def kernel(q_ref, op_hbm, quot_hbm, x_ref, *rest):
+        if fused_sym:
+            (sop_ref, squot_ref, a_ref, o_ref,
+             op_vm, quot_vm, sems) = rest
+        else:
+            o_ref, op_vm, quot_vm, sems = rest
         v_vm = o_ref.at[0]  # output block doubles as the working buffer
         l = pl.program_id(0)
         q = q_ref[l, 0]
@@ -150,8 +159,22 @@ def _make_ntt_kernel(n: int, logn: int):
         # Final correction [0,4q) -> [0,q), then transpose back.
         v = jnp.where(v >= two_q, v - two_q, v)
         v = jnp.where(v >= q, v - q, v)
-        v_vm[:] = jnp.swapaxes(
-            v.reshape(8, m, B_TILE), 0, 1).reshape(n, B_TILE)
+        v = jnp.swapaxes(v.reshape(8, m, B_TILE), 0, 1).reshape(n, B_TILE)
+
+        if fused_sym:
+            # c0 = add_mod(neg_mod(mul_mod(a, ntt_s)), ntt_pte) — Shoup
+            # form of the same exact values (ckks/fast.py's epilogue),
+            # while the tile is still in VMEM.  s arrives as (n, 1)
+            # blocks and lane-broadcasts against the tile (64 KB of VMEM
+            # instead of a 16 MB pre-broadcast, which OOMed at n=16384).
+            av = a_ref[0]
+            t = _shoup_lazy(av, sop_ref[0], squot_ref[0], q)
+            t = jnp.where(t >= q, t - q, t)
+            t = jnp.where(t == jnp.uint32(0), jnp.uint32(0),
+                          q - t).astype(jnp.uint32)
+            v = (t + v).astype(jnp.uint32)
+            v = jnp.where(v >= q, v - q, v)
+        v_vm[:] = v
     return kernel
 
 
@@ -194,6 +217,71 @@ def _pallas_ntt_call(x, op, quot, qs, n: int, logn: int, interpret: bool):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qs, op, quot, x)
+
+
+def _pallas_ntt_fused_sym_call(x, a, s_op_b, s_quot_b, op, quot, qs,
+                               n: int, logn: int, interpret: bool):
+    L, _, B = x.shape
+    assert B % B_TILE == 0, f"batch {B} must be a multiple of {B_TILE}"
+    grid = (L, B // B_TILE)
+    _0 = np.int32(0)
+    return pl.pallas_call(
+        _make_ntt_kernel(n, logn, fused_sym=True),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda l, b: (_0, _0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b)),
+            pl.BlockSpec((1, n, 1), lambda l, b: (l, _0, _0)),
+            pl.BlockSpec((1, n, 1), lambda l, b: (l, _0, _0)),
+            pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b)),
+        ],
+        out_specs=pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b)),
+        out_shape=jax.ShapeDtypeStruct((L, n, B), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((n, B_TILE), jnp.uint32),
+            pltpu.VMEM((n, B_TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qs, op, quot, x, s_op_b, s_quot_b, a)
+
+
+def shoup_pair_ingraph(s, moduli):
+    """In-graph Shoup (op, quot) for runtime per-limb vectors s (L, n),
+    q static per limb: quot = floor(s * 2^32 / q) via u64 shift-divide
+    (strength-reduced by XLA since q is a compile-time constant).  Small
+    (L, n) one-time cost per call; enables the lazy-mul epilogue."""
+    quots = []
+    for l, q in enumerate(moduli):
+        quots.append(((s[l].astype(jnp.uint64) << jnp.uint64(32))
+                      // jnp.uint64(int(q))).astype(jnp.uint32))
+    return s.astype(jnp.uint32), jnp.stack(quots)
+
+
+def ntt_coeff_major_fused_sym(x, a, ntt_s, moduli,
+                              interpret: bool | None = None):
+    """Forward NTT of x fused with the symmetric combine: returns
+    c0 = -a * ntt_s + ntt(x) mod q, coefficient-major (L, n, B).
+
+    x, a: u32 (L, n, B); ntt_s: u32 (L, n) (NTT form of the secret key
+    per limb).  Bit-identical to the unfused
+    add_mod(neg_mod(mul_mod(a, ntt_s)), ntt(x)) epilogue."""
+    L, n, B = x.shape
+    logn = n.bit_length() - 1
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    op, quot, qs = _tables_bcast(n, tuple(int(q) for q in moduli))
+    s_op, s_quot = shoup_pair_ingraph(ntt_s, moduli)
+    s_op_b = s_op[:, :, None]
+    s_quot_b = s_quot[:, :, None]
+    return _pallas_ntt_fused_sym_call(
+        x, a, s_op_b, s_quot_b, jnp.asarray(op), jnp.asarray(quot),
+        jnp.asarray(qs), n, logn, interpret)
 
 
 def ntt_coeff_major(x, moduli, interpret: bool | None = None):

@@ -38,14 +38,36 @@ UNIFORM_QUEUE_CAP = 160  # the validated n=4096 default
 TERNARY_QUEUE_CAP = 8
 
 
-def uniform_queue_cap(n: int) -> int:
-    """Queue bound for degree n: E + 10*sigma headroom (worst-case p=0.02),
-    rounded to a multiple of 8.  Keeps the long-validated 160 at n=4096."""
-    if n == 4096:
-        return UNIFORM_QUEUE_CAP
-    e = 0.02 * n
-    cap = e + 10.0 * (e ** 0.5) + 16.0
+def uniform_queue_cap(n: int, p_max: float | None = None) -> int:
+    """Queue bound for degree n: E + 8*sigma + 8, rounded up to a
+    multiple of 8 (p_max = worst per-word rejection probability of the
+    chain; blanket 0.02 when unknown).  Each queue slot costs one Keccak
+    permutation per stream, so a chain-aware bound trims real work —
+    e.g. 456 vs 528 at n=16384 for the 30-bit chain, and 40 vs 160 for
+    27-bit chains at n=4096.  The bound affects ONLY the ok-flag's
+    false-negative rate (< 1e-15 per stream at +8 sigma); output values
+    are invariant (only the consumed queue prefix feeds the result).
+    Reproduces the long-validated 160 at n=4096 / 30-bit."""
+    if p_max is None:
+        p_max = 0.02
+    e = p_max * n
+    cap = e + 8.0 * (e * (1.0 - p_max)) ** 0.5 + 8.0
     return max(24, int(-(-cap // 8)) * 8)
+
+
+def chain_p_max(moduli) -> float:
+    """Worst per-word uniform-sampler rejection probability over a prime
+    chain: p(q) = (2^32 mod q') / 2^32 with q' scaled per sample.c:46's
+    max_multiple bound (the +1 word at the boundary is absorbed by the
+    +8 slack in uniform_queue_cap)."""
+    return max((2.0 ** 32 - float((0xFFFFFFFF - (0xFFFFFFFF % int(q)) - 1)))
+               / 2.0 ** 32 for q in moduli)
+
+
+def queue_cap_for(n: int, moduli) -> int:
+    """Chain-aware uniform queue bound (pass as sample_uniform's
+    queue_cap from pipelines where the chain is statically known)."""
+    return uniform_queue_cap(n, chain_p_max(moduli))
 
 
 def _blocks_for_bytes(nbytes: int) -> int:
@@ -252,12 +274,15 @@ def _rank_select(base_vals, rejected, queue_vals, queue_acc):
     return final, consumed.astype(U32), ok
 
 
-def sample_uniform(seed_words, counter, n: int, q):
+def sample_uniform(seed_words, counter, n: int, q,
+                   queue_cap: int | None = None):
     """sample_poly_uniform (sample.c:39-57), batched.
 
     seed_words: u32 (16,) or broadcastable; counter: u32 (..., 2) (lo, hi)
     u64 PRNG counter pair per stream; q: int or Mod (supports per-limb
-    traced moduli).  Returns (poly u32 (..., n), next_counter, ok).
+    traced moduli); queue_cap: static queue bound (queue_cap_for(n,
+    chain) from pipelines; conservative default otherwise).
+    Returns (poly u32 (..., n), next_counter, ok).
     """
     from .modarith import as_mod, barrett32
     m = as_mod(q)
@@ -268,7 +293,7 @@ def sample_uniform(seed_words, counter, n: int, q):
     rejected = base >= max_multiple
 
     # Extra-draw queue: counters counter+1 .. counter+CAP; value = first word.
-    cap = uniform_queue_cap(n)
+    cap = queue_cap if queue_cap is not None else uniform_queue_cap(n)
     qcounters = _c_offsets(counter, 1 + jnp.arange(cap, dtype=U32))
     qwords = shake256_words(seed_words, qcounters, 1)
     qvals = qwords[..., 0]

@@ -69,6 +69,7 @@ def make_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
     n_limb = mesh.shape[limb_axis]
     assert L % n_limb == 0, (L, n_limb)
     mods, op, quot, ctr0 = _limb_consts(parms)
+    qcap = sp.queue_cap_for(n, parms.moduli)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(data_axis, None), P(), P(data_axis, None),
@@ -82,7 +83,8 @@ def make_limb_sharded_encryptor(mesh: Mesh, parms: Parms,
 
         def limb_fn(mod, op_l, quot_l, c0_init):
             counter = jnp.broadcast_to(c0_init, (B_loc, 2))
-            a, counter, ok_u = sp.sample_uniform(share_words, counter, n, mod)
+            a, counter, ok_u = sp.sample_uniform(share_words, counter,
+                                                 n, mod, queue_cap=qcap)
             s_modq = sp.ternary_to_modq_any(sk_signed, mod)
             ntt_s = ntt_with_tables(s_modq, op_l, quot_l, mod)
             c0 = ma.neg_mod(ma.mul_mod(a, ntt_s[None, :], mod), mod)
