@@ -196,6 +196,23 @@ def main():
         _all(B, iters, rng, device)
         return
     parms = default_parms(degree, nprimes)
+    if what == "bsweep":
+        # BASELINE.json configs row 4 ("10k+ batched") artifact: the sf
+        # flagship at B = 1024 / 2048 / 4096 / 8192 with per-B HBM
+        # high-water, so the batch ceiling is measured, not asserted.
+        for Bs in (1024, 2048, 4096, 8192):
+            line = run_pipeline(parms, "fused", "sf", Bs,
+                                max(3, iters // 2), rng, device)
+            try:
+                import jax
+                stats = jax.local_devices()[0].memory_stats() or {}
+                peak = round(stats.get("peak_bytes_in_use", 0) / 2 ** 20)
+                if peak:  # the axon tunnel backend reports no stats
+                    line["extra"]["hbm_peak_mb"] = peak
+            except Exception:
+                pass
+            print(json.dumps(line), flush=True)
+        return
     if what == "verify":
         _verify_only(parms, device)
     elif what == "pipeline":

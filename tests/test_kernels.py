@@ -219,3 +219,40 @@ def test_encode_kernel_round0_specialization():
     got, ok_g = jax.jit(partial(encode_sf_fused, parms=parms))(v)
     assert np.array_equal(np.asarray(ok_w), np.asarray(ok_g))
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ntt_kernel_fused_sym_epilogue_bit_exact():
+    """Fused symmetric epilogue (c0 = -a*ntt_s + ntt(x) inside the NTT
+    kernel, Shoup form) == the unfused Barrett mul/neg/add epilogue,
+    bit for bit (interpret mode)."""
+    from seal_embedded_tpu.config import PRIMES_27BIT
+    from seal_embedded_tpu.ops import modarith as ma
+    from seal_embedded_tpu.ops.kernels.ntt import (ntt_coeff_major,
+                                                   ntt_coeff_major_fused_sym)
+
+    moduli = tuple(int(q) for q in PRIMES_27BIT[:2])
+    L, n, B = 2, 256, 128
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, (n, B)).astype(np.uint32) for q in moduli]))
+    a = jnp.asarray(np.stack(
+        [rng.integers(0, q, (n, B)).astype(np.uint32) for q in moduli]))
+    s = jnp.asarray(np.stack(
+        [rng.integers(0, q, n).astype(np.uint32) for q in moduli]))
+    got = ntt_coeff_major_fused_sym(x, a, s, moduli)
+    ntt_pte = ntt_coeff_major(x, moduli)
+    want = []
+    for l, q in enumerate(moduli):
+        as_ = ma.mul_mod(a[l], s[l][:, None], q)
+        want.append(ma.add_mod(ma.neg_mod(as_, q), ntt_pte[l], q))
+    assert np.array_equal(np.asarray(got), np.asarray(jnp.stack(want)))
+
+
+def test_calibrate_kernel_mixes_run():
+    """The VPU calibration mixes execute (interpret) and count ops."""
+    from seal_embedded_tpu.ops.kernels.calibrate import ops_per_iter, run_mix
+    assert ops_per_iter("keccak") == 64
+    assert ops_per_iter("ntt") == 80
+    for mix in ("keccak", "ntt"):
+        out = np.asarray(run_mix(mix, 8)())
+        assert out.shape == (8, 8, 128) and out.any()
