@@ -138,6 +138,31 @@ def asym_encrypt_fused(values, pk0, pk1, seed_words, parms: Parms,
     e1_lbn = jnp.broadcast_to(_signed_to_modq(e1[None], mods_b), (L, B, n))
     pte_lbn = ma.reduce_pte_i64(pte[None], mods_b)
 
+    import os
+    from .fast import ntt_impl
+    if (ntt_impl() == "kernel" and n <= 4096
+            and os.environ.get("SEAL_TPU_FUSE", "1") == "1"):
+        # Fully fused per-limb step: 3 NTTs + pk combine in one kernel
+        # (ops/kernels/ntt.py fused_asym) — no NTT-output HBM round
+        # trips.  n > 4096 exceeds VMEM with the extra buffers and keeps
+        # the stacked-NTT + XLA combine below.  Bit-identical.
+        from ..ops.kernels.ntt import ntt_coeff_major_fused_asym
+        bt = 128
+        pad = (-B) % bt
+
+        def to_cm(x):  # (L, B, n) -> padded (L, n, B')
+            x = jnp.swapaxes(x, 1, 2)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((L, n, pad), jnp.uint32)], axis=-1)
+            return x
+
+        c0, c1 = ntt_coeff_major_fused_asym(
+            to_cm(u_lbn), to_cm(e1_lbn), to_cm(pte_lbn), pk0, pk1, moduli)
+        c0 = jnp.swapaxes(c0[..., :B], 1, 2)
+        c1 = jnp.swapaxes(c1[..., :B], 1, 2)
+        return {"c0": c0, "c1": c1, "pt": pt, "pte": pte, "ok": ok}
+
     # Stack the three polys along the BATCH axis, not the limb axis: the
     # per-limb modulus (and root table) is shared by u/e1/pte, so one
     # (L, 3B, n) kernel call uses one table set — tripling the limb axis

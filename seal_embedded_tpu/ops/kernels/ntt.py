@@ -75,12 +75,91 @@ def _permute_table(tab: np.ndarray) -> np.ndarray:
     return out
 
 
+def _ntt_in_vmem(v_vm, op_vm, quot_vm, q, n: int):
+    """The 4-step transform on a VMEM working buffer v_vm (n, B_TILE):
+    head stages as tile-aligned reshapes, one in-VMEM 8-row transpose,
+    transposed tail against the permuted table (see module docstring),
+    final correction + transpose back.  Returns the canonical [0, q)
+    value (caller stores it)."""
+    m = n // 8
+    two_q = (q * jnp.uint32(2)).astype(jnp.uint32)
+
+    def lazy_corr(u):
+        return jnp.where(u >= two_q, u - two_q, u)
+
+    def bfly(u, w, s_op, s_quot):
+        u = lazy_corr(u)
+        t = _shoup_lazy(w, s_op, s_quot, q)
+        return u + t, u + two_q - t
+
+    # Head: pair distance tt >= 8 — tile-aligned reshapes.
+    h, tt = 1, n // 2
+    while tt >= 8:
+        v = v_vm[:].reshape(h, 2, tt, B_TILE)
+        s_op = op_vm[h:2 * h].reshape(h, 1, B_TILE)
+        s_quot = quot_vm[h:2 * h].reshape(h, 1, B_TILE)
+        a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
+        v_vm[:] = jnp.stack([a, b], axis=1).astype(
+            jnp.uint32).reshape(n, B_TILE)
+        h, tt = h * 2, tt // 2
+
+    # Transpose (n/8, 8, B) -> (8, n/8, B): row a*8+b -> b*(n/8)+a.
+    v_vm[:] = jnp.swapaxes(
+        v_vm[:].reshape(m, 8, B_TILE), 0, 1).reshape(n, B_TILE)
+
+    # Tail in transposed layout: distances 4, 2, 1 become m*4, m*2, m.
+    # tt = 4 (h = n/8): one group pair at halves; root row n/8 + a.
+    v = v_vm[:]
+    u, w = v[: n // 2], v[n // 2:]
+    s_op = pltpu.repeat(op_vm[n // 8: n // 4], 4, 0)
+    s_quot = pltpu.repeat(quot_vm[n // 8: n // 4], 4, 0)
+    a, b = bfly(u, w, s_op, s_quot)
+    v_vm[:] = jnp.concatenate([a, b], axis=0).astype(jnp.uint32)
+
+    # tt = 2 (h = n/4): 2 groups; deinterleaved root rows.
+    v = v_vm[:].reshape(2, 2, n // 4, B_TILE)
+    s_op = jnp.stack([pltpu.repeat(op_vm[n // 4 + g * m:
+                                         n // 4 + (g + 1) * m], 2, 0)
+                      for g in range(2)])
+    s_quot = jnp.stack([pltpu.repeat(quot_vm[n // 4 + g * m:
+                                             n // 4 + (g + 1) * m], 2, 0)
+                        for g in range(2)])
+    a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
+    v_vm[:] = jnp.stack([a, b], axis=1).astype(
+        jnp.uint32).reshape(n, B_TILE)
+
+    # tt = 1 (h = n/2): 4 groups; quad-deinterleaved root rows.
+    v = v_vm[:].reshape(4, 2, m, B_TILE)
+    s_op = op_vm[n // 2:].reshape(4, m, B_TILE)
+    s_quot = quot_vm[n // 2:].reshape(4, m, B_TILE)
+    a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
+    v = jnp.stack([a, b], axis=1).astype(jnp.uint32).reshape(n, B_TILE)
+
+    # Final correction [0,4q) -> [0,q), then transpose back.
+    v = jnp.where(v >= two_q, v - two_q, v)
+    v = jnp.where(v >= q, v - q, v)
+    return jnp.swapaxes(v.reshape(8, m, B_TILE), 0, 1).reshape(n, B_TILE)
+
+
+def _load_tables(op_hbm, quot_hbm, op_vm, quot_vm, sems, l):
+    """DMA the limb's lane-broadcast Shoup tables into VMEM scratch
+    (first batch-tile of each limb only)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _i0, _i1 = np.int32(0), np.int32(1)  # x64 would make these i64
+        cp0 = pltpu.make_async_copy(op_hbm.at[l], op_vm, sems.at[_i0])
+        cp1 = pltpu.make_async_copy(quot_hbm.at[l], quot_vm, sems.at[_i1])
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+
+
 def _make_ntt_kernel(n: int, logn: int, fused_sym: bool = False):
     """fused_sym: epilogue computes c0 = -a*s + ntt(x) in-kernel
     (ckks_sym.c:199-301's per-prime combine) from two extra inputs —
     a (c1) tiles and the lane-broadcast Shoup pair of ntt(s) — saving
     the separate XLA elementwise pass over the (L, B, n) arrays."""
-    m = n // 8
 
     def kernel(q_ref, op_hbm, quot_hbm, x_ref, *rest):
         if fused_sym:
@@ -91,75 +170,10 @@ def _make_ntt_kernel(n: int, logn: int, fused_sym: bool = False):
         v_vm = o_ref.at[0]  # output block doubles as the working buffer
         l = pl.program_id(0)
         q = q_ref[l, 0]
-        two_q = (q * jnp.uint32(2)).astype(jnp.uint32)
-
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            _i0, _i1 = np.int32(0), np.int32(1)  # x64 would make these i64
-            cp0 = pltpu.make_async_copy(op_hbm.at[l], op_vm, sems.at[_i0])
-            cp1 = pltpu.make_async_copy(quot_hbm.at[l], quot_vm, sems.at[_i1])
-            cp0.start()
-            cp1.start()
-            cp0.wait()
-            cp1.wait()
-
-        def lazy_corr(u):
-            return jnp.where(u >= two_q, u - two_q, u)
-
-        def bfly(u, w, s_op, s_quot):
-            u = lazy_corr(u)
-            t = _shoup_lazy(w, s_op, s_quot, q)
-            return u + t, u + two_q - t
+        _load_tables(op_hbm, quot_hbm, op_vm, quot_vm, sems, l)
 
         v_vm[:] = x_ref[0]  # (n, B_TILE) u32
-
-        # Head: pair distance tt >= 8 — tile-aligned reshapes.
-        h, tt = 1, n // 2
-        while tt >= 8:
-            v = v_vm[:].reshape(h, 2, tt, B_TILE)
-            s_op = op_vm[h:2 * h].reshape(h, 1, B_TILE)
-            s_quot = quot_vm[h:2 * h].reshape(h, 1, B_TILE)
-            a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
-            v_vm[:] = jnp.stack([a, b], axis=1).astype(
-                jnp.uint32).reshape(n, B_TILE)
-            h, tt = h * 2, tt // 2
-
-        # Transpose (n/8, 8, B) -> (8, n/8, B): row a*8+b -> b*(n/8)+a.
-        v_vm[:] = jnp.swapaxes(
-            v_vm[:].reshape(m, 8, B_TILE), 0, 1).reshape(n, B_TILE)
-
-        # Tail in transposed layout: distances 4, 2, 1 become m*4, m*2, m.
-        # tt = 4 (h = n/8): one group pair at halves; root row n/8 + a.
-        v = v_vm[:]
-        u, w = v[: n // 2], v[n // 2:]
-        s_op = pltpu.repeat(op_vm[n // 8: n // 4], 4, 0)
-        s_quot = pltpu.repeat(quot_vm[n // 8: n // 4], 4, 0)
-        a, b = bfly(u, w, s_op, s_quot)
-        v_vm[:] = jnp.concatenate([a, b], axis=0).astype(jnp.uint32)
-
-        # tt = 2 (h = n/4): 2 groups; deinterleaved root rows.
-        v = v_vm[:].reshape(2, 2, n // 4, B_TILE)
-        s_op = jnp.stack([pltpu.repeat(op_vm[n // 4 + g * m:
-                                             n // 4 + (g + 1) * m], 2, 0)
-                          for g in range(2)])
-        s_quot = jnp.stack([pltpu.repeat(quot_vm[n // 4 + g * m:
-                                                 n // 4 + (g + 1) * m], 2, 0)
-                            for g in range(2)])
-        a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
-        v_vm[:] = jnp.stack([a, b], axis=1).astype(
-            jnp.uint32).reshape(n, B_TILE)
-
-        # tt = 1 (h = n/2): 4 groups; quad-deinterleaved root rows.
-        v = v_vm[:].reshape(4, 2, m, B_TILE)
-        s_op = op_vm[n // 2:].reshape(4, m, B_TILE)
-        s_quot = quot_vm[n // 2:].reshape(4, m, B_TILE)
-        a, b = bfly(v[:, 0], v[:, 1], s_op, s_quot)
-        v = jnp.stack([a, b], axis=1).astype(jnp.uint32).reshape(n, B_TILE)
-
-        # Final correction [0,4q) -> [0,q), then transpose back.
-        v = jnp.where(v >= two_q, v - two_q, v)
-        v = jnp.where(v >= q, v - q, v)
-        v = jnp.swapaxes(v.reshape(8, m, B_TILE), 0, 1).reshape(n, B_TILE)
+        v = _ntt_in_vmem(v_vm, op_vm, quot_vm, q, n)
 
         if fused_sym:
             # c0 = add_mod(neg_mod(mul_mod(a, ntt_s)), ntt_pte) — Shoup
@@ -249,6 +263,95 @@ def _pallas_ntt_fused_sym_call(x, a, s_op_b, s_quot_b, op, quot, qs,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qs, op, quot, x, s_op_b, s_quot_b, a)
+
+
+def _make_ntt_kernel_fused_asym(n: int, logn: int):
+    """Fused asymmetric per-limb step (ckks_asym.c:205-286): three NTTs
+    (u, e1, pte) per (limb, batch-tile) grid step, combined in VMEM into
+      c1 = pk1 * ntt(u) + ntt(e1),  c0 = pk0 * ntt(u) + ntt(pte)
+    with the pk rows as lane-broadcast Shoup pairs.  Saves the three
+    (L, B, n) NTT-output HBM round-trips plus the separate combine pass.
+    """
+    def kernel(q_ref, op_hbm, quot_hbm, u_ref, e1_ref, pte_ref,
+               p0op_ref, p0quot_ref, p1op_ref, p1quot_ref,
+               c0_ref, c1_ref, op_vm, quot_vm, w_vm, sems):
+        l = pl.program_id(0)
+        q = q_ref[l, 0]
+        _load_tables(op_hbm, quot_hbm, op_vm, quot_vm, sems, l)
+
+        w_vm[:] = u_ref[0]
+        w_vm[:] = _ntt_in_vmem(w_vm, op_vm, quot_vm, q, n)
+
+        c1w = c1_ref.at[0]
+        c1w[:] = e1_ref[0]
+        ntt_e1 = _ntt_in_vmem(c1w, op_vm, quot_vm, q, n)
+
+        c0w = c0_ref.at[0]
+        c0w[:] = pte_ref[0]
+        ntt_pte = _ntt_in_vmem(c0w, op_vm, quot_vm, q, n)
+
+        nu = w_vm[:]
+
+        def combine(pop, pquot, other):
+            # add_mod(mul_mod(pk, ntt_u), ntt_other) in Shoup form —
+            # same exact canonical values as the Barrett epilogue.
+            t = _shoup_lazy(nu, pop, pquot, q)
+            t = jnp.where(t >= q, t - q, t)
+            s = (t + other).astype(jnp.uint32)
+            return jnp.where(s >= q, s - q, s)
+
+        c1w[:] = combine(p1op_ref[0], p1quot_ref[0], ntt_e1)
+        c0w[:] = combine(p0op_ref[0], p0quot_ref[0], ntt_pte)
+
+    return kernel
+
+
+def ntt_coeff_major_fused_asym(u, e1, pte, pk0, pk1, moduli,
+                               interpret: bool | None = None):
+    """(c0, c1) for the asym per-limb combine, coefficient-major.
+
+    u, e1, pte: u32 (L, n, B) mod-q inputs; pk0, pk1: u32 (L, n) NTT
+    form.  Bit-identical to NTT + XLA mul/add epilogue (asserted in
+    tests/test_kernels.py)."""
+    L, n, B = u.shape
+    logn = n.bit_length() - 1
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert B % B_TILE == 0, B
+    op, quot, qs = _tables_bcast(n, tuple(int(q) for q in moduli))
+    p0op, p0quot = shoup_pair_ingraph(pk0, moduli)
+    p1op, p1quot = shoup_pair_ingraph(pk1, moduli)
+    grid = (L, B // B_TILE)
+    _0 = np.int32(0)
+    bs_tile = pl.BlockSpec((1, n, B_TILE), lambda l, b: (l, _0, b))
+    bs_row = pl.BlockSpec((1, n, 1), lambda l, b: (l, _0, _0))
+    c0, c1 = pl.pallas_call(
+        _make_ntt_kernel_fused_asym(n, logn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda l, b: (_0, _0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            bs_tile, bs_tile, bs_tile,
+            bs_row, bs_row, bs_row, bs_row,
+        ],
+        out_specs=[bs_tile, bs_tile],
+        out_shape=[jax.ShapeDtypeStruct((L, n, B), jnp.uint32),
+                   jax.ShapeDtypeStruct((L, n, B), jnp.uint32)],
+        scratch_shapes=[
+            pltpu.VMEM((n, B_TILE), jnp.uint32),
+            pltpu.VMEM((n, B_TILE), jnp.uint32),
+            pltpu.VMEM((n, B_TILE), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qs, jnp.asarray(op), jnp.asarray(quot), u, e1, pte,
+      p0op[:, :, None], p0quot[:, :, None],
+      p1op[:, :, None], p1quot[:, :, None])
+    return c0, c1
 
 
 def shoup_pair_ingraph(s, moduli):

@@ -256,3 +256,63 @@ def test_calibrate_kernel_mixes_run():
     for mix in ("keccak", "ntt"):
         out = np.asarray(run_mix(mix, 8)())
         assert out.shape == (8, 8, 128) and out.any()
+
+
+def test_ntt_kernel_fused_asym_bit_exact():
+    """Fused asym kernel (3 NTTs + pk combine per limb step) == unfused
+    NTT + Barrett mul/add epilogue, bit for bit (interpret mode)."""
+    from seal_embedded_tpu.config import PRIMES_27BIT
+    from seal_embedded_tpu.ops import modarith as ma
+    from seal_embedded_tpu.ops.kernels.ntt import (
+        ntt_coeff_major, ntt_coeff_major_fused_asym)
+
+    moduli = tuple(int(q) for q in PRIMES_27BIT[:2])
+    L, n, B = 2, 256, 128
+    rng = np.random.default_rng(1)
+
+    def mk():
+        return jnp.asarray(np.stack(
+            [rng.integers(0, q, (n, B)).astype(np.uint32) for q in moduli]))
+
+    u, e1, pte = mk(), mk(), mk()
+    pk0 = jnp.asarray(np.stack(
+        [rng.integers(0, q, n).astype(np.uint32) for q in moduli]))
+    pk1 = jnp.asarray(np.stack(
+        [rng.integers(0, q, n).astype(np.uint32) for q in moduli]))
+    c0, c1 = ntt_coeff_major_fused_asym(u, e1, pte, pk0, pk1, moduli)
+    nu = ntt_coeff_major(u, moduli)
+    ne1 = ntt_coeff_major(e1, moduli)
+    npte = ntt_coeff_major(pte, moduli)
+    for l, q in enumerate(moduli):
+        w1 = ma.add_mod(ma.mul_mod(pk1[l][:, None], nu[l], q), ne1[l], q)
+        w0 = ma.add_mod(ma.mul_mod(pk0[l][:, None], nu[l], q), npte[l], q)
+        assert np.array_equal(np.asarray(c0)[l], np.asarray(w0)), f"c0 {l}"
+        assert np.array_equal(np.asarray(c1)[l], np.asarray(w1)), f"c1 {l}"
+
+
+def test_asym_fused_kernel_forced_golden(monkeypatch):
+    """asym_encrypt_fused with the fused-asym Pallas kernel forced on
+    (interpret) — bit-exact vs the C-reference asym golden vectors."""
+    import pathlib
+    from functools import partial
+    from seal_embedded_tpu.ckks.asym import asym_encrypt_fused
+
+    monkeypatch.setenv("SEAL_TPU_NTT", "kernel")
+    data = np.load(pathlib.Path(__file__).parent / "golden_asym_4096_3.npz")
+    P = default_parms(4096, 3)
+    L = P.nprimes
+    ntests = 2
+    vs = np.stack([data[f"v_{t}"] for t in range(ntests)])
+    pk0 = jnp.asarray(np.stack([data[f"pk0_{i}"] for i in range(L)]))
+    pk1 = jnp.asarray(np.stack([data[f"pk1_{i}"] for i in range(L)]))
+    err = jnp.asarray(np.tile(kc.seed_to_words(seed_bytes(3)), (ntests, 1)))
+
+    out = jax.jit(partial(asym_encrypt_fused, parms=P, encode_mode="f64"))(
+        jnp.asarray(vs), pk0, pk1, err)
+    assert bool(np.asarray(out["ok"]).all())
+    for b in range(ntests):
+        for i in range(L):
+            assert np.array_equal(np.asarray(out["c0"])[i, b],
+                                  data[f"c0_{L * b + i}"]), f"c0 {b} {i}"
+            assert np.array_equal(np.asarray(out["c1"])[i, b],
+                                  data[f"c1_{L * b + i}"]), f"c1 {b} {i}"
