@@ -36,11 +36,13 @@ Config via env:
                  0 limits "all" to the n=4096 rows + components
 
 Roofline accounting (BASELINE.md "NTT butterflies/sec tracked vs
-per-chip speed-of-light"): speed-of-light numbers below assume the v5e
-VPU upper bound of 4 ALU ops/cycle/lane x (8x128) lanes x 940 MHz
-= 3.85e12 u32 ops/s and the op counts stated per kernel; they are
-printed with each component line as extra.sol_* so every measurement
-carries its distance-to-light.
+per-chip speed-of-light"): every "all" run first MEASURES the
+sustainable VPU rate for each hot kernel's op mix
+(ops/kernels/calibrate.py) and reports component rows against both the
+theoretical ceiling (4 ALU ops/cycle/lane x 1024 lanes x 940 MHz =
+3.85e12 u32 eops/s -> extra.sol_*) and the calibrated one
+(extra.sol_*_calibrated) — the calibrated fractions are the actionable
+distance-to-light.
 """
 
 import json
@@ -59,15 +61,23 @@ def _fetch_one(x):
     return np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def _time(fn, args, iters):
+def _time(fn, args, iters, reps: int = 1):
+    """Amortized timing; with reps > 1 returns the MINIMUM per-rep
+    average — the robust statistic for short component benches, whose
+    single-rep numbers vary several-fold with tunnel/host contention
+    (pipeline rows are long enough that one rep is stable)."""
     t0 = time.time()
     _fetch_one(fn(*args))
     compile_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    _fetch_one(out)
-    return (time.time() - t0) / iters, compile_s, out
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        _fetch_one(out)
+        avg = (time.time() - t0) / iters
+        best = avg if best is None else min(best, avg)
+    return best, compile_s, out
 
 
 def _emit(metric, value, unit, vs_baseline, extra):
@@ -367,7 +377,7 @@ def _calibrate(iters, device):
     K = 200_000
     for mix in ("keccak", "ntt"):
         fn = run_mix(mix, K)
-        avg_s, compile_s, _ = _time(fn, (), max(iters, 10))
+        avg_s, compile_s, _ = _time(fn, (), max(iters, 10), reps=3)
         # element-ops/s: the loop issues vector ops on (8,128) tiles
         vops = K * ops_per_iter(mix) * 1024 / avg_s
         ceilings[mix] = vops
@@ -403,7 +413,7 @@ def _component(what, parms, B, iters, rng, device, ceilings=None):
         x = jnp.asarray(np.stack(
             [rng.integers(0, q, (n, B)).astype(np.uint32) for q in moduli]))
         fn = jax.jit(partial(ntt_coeff_major, moduli=moduli))
-        avg_s, compile_s, _ = _time(fn, (x,), iters)
+        avg_s, compile_s, _ = _time(fn, (x,), iters, reps=3)
         logn = n.bit_length() - 1
         bflys = L * B * (n // 2) * logn / avg_s
         sol = VPU_OPS_PER_S / NTT_OPS_PER_BFLY
@@ -425,7 +435,7 @@ def _component(what, parms, B, iters, rng, device, ceilings=None):
         ctr = jnp.zeros((Bk, 2), jnp.uint32)
         nblocks = -(-4 * n // 136)
         fn = jax.jit(partial(shake256_words, nblocks=nblocks))
-        avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
+        avg_s, compile_s, _ = _time(fn, (share, ctr), iters, reps=3)
         perms = Bk * nblocks / avg_s
         # 10.3k vreg-ops per 1024-stream tile-permutation
         sol = VPU_OPS_PER_S / 10.3e3
@@ -449,7 +459,7 @@ def _component(what, parms, B, iters, rng, device, ceilings=None):
                              .astype(np.float32))
         mode = os.environ.get("BENCH_ENCODE", "sf")
         fn = jax.jit(partial(encode_any, parms=parms, mode=mode))
-        avg_s, compile_s, _ = _time(fn, (values,), iters)
+        avg_s, compile_s, _ = _time(fn, (values,), iters, reps=3)
         extra = {"avg_ms": round(avg_s * 1000, 3), "B": B,
                  "compile_s": round(compile_s, 1), "device": device}
         if mode != "dd":
@@ -464,7 +474,7 @@ def _component(what, parms, B, iters, rng, device, ceilings=None):
                             .astype(np.uint32))
         ctr = jnp.zeros((B, 2), jnp.uint32)
         fn = jax.jit(partial(sp.sample_uniform, n=n, q=moduli[0]))
-        avg_s, compile_s, _ = _time(fn, (share, ctr), iters)
+        avg_s, compile_s, _ = _time(fn, (share, ctr), iters, reps=3)
         return _emit(
             f"sample_uniform_n{n}_per_s", B / avg_s, "poly/s",
             avg_s * 1000,
