@@ -56,14 +56,18 @@ def _shoup_lazy(x, y_op, y_quot, q):
 
 
 def _permute_table(tab: np.ndarray) -> np.ndarray:
-    """Bitrev-indexed root table -> kernel order for the transposed tail.
+    """Bitrev-indexed root table -> kernel order.
 
-    Rows [0, n/4) stay (used by the distance>=8 stages and, tiled x4, by
-    the distance-4 stage).  The distance-2 stage's rows [n/4, n/2) are
+    Tail (transposed layout): the distance-2 stage's rows [n/4, n/2) are
     pair-deinterleaved; the distance-1 stage's rows [n/2, n) are
-    quad-deinterleaved — so that in the transposed (8, n/8) layout every
-    stage reads a contiguous, tile-aligned slice.
-    """
+    quad-deinterleaved — so every tail stage reads a contiguous,
+    tile-aligned slice.
+
+    Head (radix-4 pairs): for each fused stage pair, the SECOND stage's
+    rows [2h, 4h) are even/odd-deinterleaved (evens at [2h, 3h), odds at
+    [3h, 4h)) so both sub-group root vectors are contiguous slices.
+    Each row range belongs to exactly one stage, so the reorders
+    compose."""
     n = tab.shape[0]
     m = n // 8
     out = np.empty_like(tab)
@@ -72,6 +76,12 @@ def _permute_table(tab: np.ndarray) -> np.ndarray:
         out[n // 4 + g * m: n // 4 + (g + 1) * m] = tab[n // 4 + g::2][:m]
     for k in range(4):
         out[n // 2 + k * m: n // 2 + (k + 1) * m] = tab[n // 2 + k::4][:m]
+    # Head pairs mirror _ntt_in_vmem's loop: radix-4 while tt >= 16.
+    h, tt = 1, n // 2
+    while tt >= 16:
+        out[2 * h: 3 * h] = tab[2 * h: 4 * h: 2]
+        out[3 * h: 4 * h] = tab[2 * h + 1: 4 * h: 2]
+        h, tt = h * 4, tt // 4
     return out
 
 
@@ -92,9 +102,32 @@ def _ntt_in_vmem(v_vm, op_vm, quot_vm, q, n: int):
         t = _shoup_lazy(w, s_op, s_quot, q)
         return u + t, u + two_q - t
 
-    # Head: pair distance tt >= 8 — tile-aligned reshapes.
+    # Head: pair distance tt >= 8 — tile-aligned reshapes.  Stages run
+    # in fused radix-4 pairs (two butterfly generations in registers per
+    # VMEM round-trip — the per-stage tile read+write+restack dominates
+    # the 20-vop butterfly ALU); root rows for the pair's second stage
+    # are even/odd-deinterleaved host-side (_permute_table).  Identical
+    # op sequence per value to the radix-2 form, bit-exact.
     h, tt = 1, n // 2
-    while tt >= 8:
+    while tt >= 16:
+        tt2 = tt // 2
+        v = v_vm[:].reshape(h, 4, tt2, B_TILE)
+        r1_op = op_vm[h:2 * h].reshape(h, 1, 1, B_TILE)
+        r1_quot = quot_vm[h:2 * h].reshape(h, 1, 1, B_TILE)
+        u = lazy_corr(v[:, 0:2])                      # (h, 2, tt2, B)
+        t = _shoup_lazy(v[:, 2:4], r1_op, r1_quot, q)
+        a = (u + t).astype(jnp.uint32)                # stage-s outputs
+        b = (u + two_q - t).astype(jnp.uint32)
+        r2a_op = op_vm[2 * h: 3 * h].reshape(h, 1, B_TILE)
+        r2a_quot = quot_vm[2 * h: 3 * h].reshape(h, 1, B_TILE)
+        r2b_op = op_vm[3 * h: 4 * h].reshape(h, 1, B_TILE)
+        r2b_quot = quot_vm[3 * h: 4 * h].reshape(h, 1, B_TILE)
+        o0, o1 = bfly(a[:, 0], a[:, 1], r2a_op, r2a_quot)
+        o2, o3 = bfly(b[:, 0], b[:, 1], r2b_op, r2b_quot)
+        v_vm[:] = jnp.stack([o0, o1, o2, o3], axis=1).astype(
+            jnp.uint32).reshape(n, B_TILE)
+        h, tt = h * 4, tt // 4
+    if tt >= 8:  # odd head-stage count: one radix-2 step at tt = 8
         v = v_vm[:].reshape(h, 2, tt, B_TILE)
         s_op = op_vm[h:2 * h].reshape(h, 1, B_TILE)
         s_quot = quot_vm[h:2 * h].reshape(h, 1, B_TILE)
