@@ -177,6 +177,27 @@ def run_sweep(degree: int = 512, batch: int = 4, quick: bool = False):
            np.asarray(out["c0"]), np.asarray(out["c1"]),
            bool(np.asarray(out["ok"]).all()), ieee_backend)
 
+    # Asymmetric: batch pipeline vs per-prime streaming must agree limb
+    # by limb, and decrypt+decode within tolerance (ckks_asym.c:205-288).
+    from seal_embedded_tpu.ckks.asym import gen_pk_batch, make_asym_encryptor
+    from seal_embedded_tpu.ckks.stream import asym_encrypt_stream
+    ep = jnp.asarray(rng.integers(-20, 21, n).astype(np.int32))
+    pk0, pk1 = gen_pk_batch(
+        sk, jnp.asarray(rng.integers(0, 2 ** 32, (1, 16)).astype(np.uint32)),
+        ep, parms)
+    aout = make_asym_encryptor(parms)(values, pk0, pk1, err)
+    limbs = sorted(asym_encrypt_stream(values, pk0, pk1, err, parms),
+                   key=lambda d: d["prime_idx"])
+    same = (np.array_equal(np.stack([d["c0"] for d in limbs]),
+                           np.asarray(aout["c0"]))
+            and np.array_equal(np.stack([d["c1"] for d in limbs]),
+                               np.asarray(aout["c1"])))
+    worst = decode_check(np.asarray(aout["c0"]), np.asarray(aout["c1"]))
+    passed = bool(np.asarray(aout["ok"]).all()) and worst < 0.1 and same
+    results.append(("asym batch==stream", passed, worst, same))
+    print(f"{'PASS' if passed else 'FAIL'}  {'asym batch==stream':<58} "
+          f"max|dec-v|={worst:.2e}  bit=={same}")
+
     # Loaded fast-INTT decrypt oracle (SE_INTT_FAST, intt.c:72-129):
     # re-check the baseline ciphertexts with the lazy INTT consuming
     # intt_fast_roots_*.dat — must be value-identical to the canonical
