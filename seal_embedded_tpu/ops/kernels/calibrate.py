@@ -43,16 +43,17 @@ def _rol(x, r: int):
 
 
 def _keccak_mix_body(chains, salt):
-    """One iteration over 8 chains; returns (new_chains, ops_counted).
+    """One iteration over the chains; returns (new_chains, ops_counted).
 
     Per chain: rot(3 ops) + xor + andn-chi (not, and, xor) + xor = 8 ops,
     mirroring theta/rho/chi proportions (rotate ~30%, xor ~40%, chi ~30%).
     """
+    nch = len(chains)
     out = []
     ops = 0
     for i, a in enumerate(chains):
-        b = chains[(i + 1) % _NCHAIN]
-        c = chains[(i + 2) % _NCHAIN]
+        b = chains[(i + 1) % nch]
+        c = chains[(i + 2) % nch]
         t = _rol(a, (i * 7 + 1) % 31 + 1)          # 3 ops
         t = t ^ b                                   # 1
         t = (t ^ (~b & c)).astype(U32)              # 3 (not, and, xor)
@@ -69,7 +70,7 @@ def _ntt_mix_body(chains, q, two_q):
     = 20 ops per butterfly — bench.py's NTT_OPS_PER_BFLY convention."""
     out = []
     ops = 0
-    npairs = _NCHAIN // 2
+    npairs = len(chains) // 2
     for i in range(npairs):
         u, w = chains[2 * i], chains[2 * i + 1]
         u = jnp.where(u >= two_q, u - two_q, u)     # 2
@@ -89,8 +90,8 @@ def _ntt_mix_body(chains, q, two_q):
     return out, ops
 
 
-@lru_cache(maxsize=8)
-def _calib_call(mix: str, iters: int, interpret: bool):
+@lru_cache(maxsize=16)
+def _calib_call(mix: str, iters: int, interpret: bool, nchain: int):
     q = np.uint32(1053818881)
     two_q = np.uint32(2 * 1053818881)
 
@@ -98,7 +99,7 @@ def _calib_call(mix: str, iters: int, interpret: bool):
     assert iters % UNROLL == 0
 
     def kernel(x_ref, o_ref):
-        chains = [x_ref[i] for i in range(_NCHAIN)]
+        chains = [x_ref[i] for i in range(nchain)]
 
         def body(i, chains):
             # Mosaic fori supports only unroll=1/full: unroll by hand so
@@ -117,18 +118,18 @@ def _calib_call(mix: str, iters: int, interpret: bool):
 
         chains = jax.lax.fori_loop(np.int32(0), np.int32(iters // UNROLL),
                                    body, tuple(chains), unroll=False)
-        for i in range(_NCHAIN):
+        for i in range(nchain):
             o_ref[i] = chains[i]
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((_NCHAIN, _TSUB, _TLANE), U32),
+        out_shape=jax.ShapeDtypeStruct((nchain, _TSUB, _TLANE), U32),
         interpret=interpret,
     )
 
 
-def ops_per_iter(mix: str) -> int:
-    dummy = [jnp.zeros((), U32)] * _NCHAIN
+def ops_per_iter(mix: str, nchain: int = _NCHAIN) -> int:
+    dummy = [jnp.zeros((), U32)] * nchain
     if mix == "keccak":
         _, ops = _keccak_mix_body(dummy, jnp.zeros((), U32))
     else:
@@ -136,13 +137,16 @@ def ops_per_iter(mix: str) -> int:
     return ops
 
 
-def run_mix(mix: str, iters: int = 200_000, interpret: bool | None = None):
+def run_mix(mix: str, iters: int = 200_000, interpret: bool | None = None,
+            nchain: int = _NCHAIN):
     """Returns a jit thunk computing the mix; total source-convention
-    vector-op count = iters * ops_per_iter(mix) (per (8,128) tile)."""
+    vector-op count = iters * ops_per_iter(mix, nchain) per (8,128)
+    tile.  `nchain` sets the live-vreg pressure: sweeping it maps the
+    register-allocator's spill cliff (the keccak kernel lives at ~85)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    call = _calib_call(mix, iters, interpret)
+    call = _calib_call(mix, iters, interpret, nchain)
     x = jnp.asarray(
         np.random.default_rng(0).integers(
-            0, 2 ** 31, (_NCHAIN, _TSUB, _TLANE)).astype(np.uint32))
+            0, 2 ** 31, (nchain, _TSUB, _TLANE)).astype(np.uint32))
     return lambda: call(x)
