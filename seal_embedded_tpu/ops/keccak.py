@@ -168,15 +168,22 @@ def default_impl() -> str:
     return "kernel" if jax.default_backend() == "tpu" else "jnp"
 
 
-def shake256_words(seed_words, counters, nblocks: int, impl: str | None = None):
+def shake256_words(seed_words, counters, nblocks: int, impl: str | None = None,
+                   nwords: int | None = None):
     """Squeeze nblocks*136 bytes for each (seed, counter) stream.
 
     counters: u32 (..., 2) pairs.  Returns u32 (..., nblocks*34) words —
-    the byte stream in LE word form.
+    the byte stream in LE word form.  nwords (nblocks == 1 only) trims
+    the output to the first nwords rate words — the sampler QUEUES read
+    one word per draw, and emitting all 34 would cost 34x the HBM
+    writeback + transpose for nothing (values identical; the remaining
+    squeeze output simply isn't materialized).
     """
+    assert nwords is None or nblocks == 1
     if (impl or default_impl()) == "kernel":
         from .kernels.keccak import shake256_words_kernel
-        return shake256_words_kernel(seed_words, counters, nblocks)
+        return shake256_words_kernel(seed_words, counters, nblocks,
+                                     nwords=nwords)
     lo, hi = absorb72(seed_words, counters)
 
     def step(state, _):
@@ -185,7 +192,8 @@ def shake256_words(seed_words, counters, nblocks: int, impl: str | None = None):
 
     if nblocks == 1:
         lo, hi = keccak_f1600(lo, hi)
-        return _state_to_rate_words(lo, hi)
+        out = _state_to_rate_words(lo, hi)
+        return out if nwords is None else out[..., :nwords]
 
     (_, _), out = jax.lax.scan(step, (lo, hi), None, length=nblocks)
     # out: (nblocks, ..., 34) -> (..., nblocks*34)

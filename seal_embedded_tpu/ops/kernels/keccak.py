@@ -208,9 +208,12 @@ CHUNK_TILES = 8
 
 
 def _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref, *,
-                 ntile: int, staged: bool):
+                 ntile: int, staged: bool, nwords: int):
     """Grid: (ngroups,).  seed (CT,16,8,128); ctr (CT,2,8,128);
-    out (CT,34,8,128); ntile <= CHUNK_TILES live tiles in this group."""
+    out (CT,nwords,8,128); ntile <= CHUNK_TILES live tiles in this
+    group.  nwords < 34 emits only the first rate words — the sampler
+    queues consume ONE word per 136-byte block, so writing all 34 costs
+    34x the HBM (plus the transpose-back read) for nothing."""
     def body(j, _):
         st = absorb_planes([seed_ref[j, w] for w in range(16)],
                            [ctr_ref[j, 0], ctr_ref[j, 1]])
@@ -218,15 +221,18 @@ def _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref, *,
             for w in range(50):
                 st_ref[w] = st[w]
             _permute_staged(st_ref, st2_ref)
-            rows = [st_ref[k] for k in range(34)]
+            rows = [st_ref[k] for k in range(nwords)]
         else:
             lo = [st[2 * k] for k in range(25)]
             hi = [st[2 * k + 1] for k in range(25)]
             lo, hi = _permute(lo, hi)
             rate = lo[:17] + hi[:17]
             rows = [rate[k // 2] if k % 2 == 0 else rate[17 + k // 2]
-                    for k in range(34)]
-        out_ref[j] = jnp.stack(rows, axis=0)
+                    for k in range(nwords)]
+        if nwords == 1:
+            out_ref[j] = rows[0][None]
+        else:
+            out_ref[j] = jnp.stack(rows, axis=0)
         return 0
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntile), body, 0,
@@ -234,7 +240,8 @@ def _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref, *,
 
 
 @lru_cache(maxsize=8)
-def _squeeze_call_1blk(ntiles: int, interpret: bool, staged: bool):
+def _squeeze_call_1blk(ntiles: int, interpret: bool, staged: bool,
+                       nwords: int = 34):
     _0 = np.int32(0)
     ct = min(CHUNK_TILES, ntiles)
     ngroups = -(-ntiles // ct)
@@ -243,17 +250,17 @@ def _squeeze_call_1blk(ntiles: int, interpret: bool, staged: bool):
     def kern(seed_ref, ctr_ref, out_ref, st_ref, st2_ref):
         if last == ct:
             _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
-                         ntile=ct, staged=staged)
+                         ntile=ct, staged=staged, nwords=nwords)
         else:
             @pl.when(pl.program_id(0) < ngroups - 1)
             def _():
                 _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
-                             ntile=ct, staged=staged)
+                             ntile=ct, staged=staged, nwords=nwords)
 
             @pl.when(pl.program_id(0) == ngroups - 1)
             def _():
                 _kernel_1blk(seed_ref, ctr_ref, out_ref, st_ref, st2_ref,
-                             ntile=last, staged=staged)
+                             ntile=last, staged=staged, nwords=nwords)
 
     return pl.pallas_call(
         kern,
@@ -262,10 +269,10 @@ def _squeeze_call_1blk(ntiles: int, interpret: bool, staged: bool):
             pl.BlockSpec((ct, 16, _TSUB, _TLANE), lambda g: (g, _0, _0, _0)),
             pl.BlockSpec((ct, 2, _TSUB, _TLANE), lambda g: (g, _0, _0, _0)),
         ],
-        out_specs=pl.BlockSpec((ct, 34, _TSUB, _TLANE),
+        out_specs=pl.BlockSpec((ct, nwords, _TSUB, _TLANE),
                                lambda g: (g, _0, _0, _0)),
         out_shape=jax.ShapeDtypeStruct(
-            (ngroups * ct, 34, _TSUB, _TLANE), jnp.uint32),
+            (ngroups * ct, nwords, _TSUB, _TLANE), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32),
                         pltpu.VMEM((50, _TSUB, _TLANE), jnp.uint32)],
         interpret=interpret,
@@ -397,12 +404,15 @@ def _squeeze_call(ntiles: int, nblocks: int, interpret: bool, staged: bool,
 
 
 def shake256_words_kernel(seed_words, counters, nblocks: int,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          nwords: int | None = None):
     """Drop-in for ops.keccak.shake256_words via the Pallas kernel.
 
     seed_words: u32 (..., 16) broadcastable against counters (..., 2).
-    Returns u32 (..., nblocks*34).
+    Returns u32 (..., nblocks*34), or (..., nwords) when nwords is set
+    (single-block queue calls: only the first words are materialized).
     """
+    assert nwords is None or nblocks == 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch_shape = counters.shape[:-1]
@@ -426,6 +436,7 @@ def shake256_words_kernel(seed_words, counters, nblocks: int,
              .reshape(ntiles, 2, _TSUB, _TLANE)
 
     staged = keccak_staged()
+    W = nblocks * 34 if nwords is None else nwords
     if nblocks == 1 and ntiles > 1:
         # Independent 1-block streams (sampler queues): chunk TILES per
         # grid step instead of blocks, amortizing the per-step cost.
@@ -437,16 +448,17 @@ def shake256_words_kernel(seed_words, counters, nblocks: int,
                 [sw, jnp.zeros((tpad,) + sw.shape[1:], U32)])
             ctr = jnp.concatenate(
                 [ctr, jnp.zeros((tpad,) + ctr.shape[1:], U32)])
-        out = _squeeze_call_1blk(ntiles, interpret, staged)(sw, ctr)[:ntiles]
+        out = _squeeze_call_1blk(ntiles, interpret, staged,
+                                 W)(sw, ctr)[:ntiles]
     else:
         import os
         carry = os.environ.get("SEAL_TPU_KECCAK_CARRY", "0") == "1"
         out = _squeeze_call(ntiles, nblocks, interpret, staged,
                             carry)(sw, ctr)
-        out = out[:, : nblocks * 34]  # drop rows of a padded final chunk
-    # (ntiles, nblocks*34, 8, 128) -> (N, nblocks*34)
-    out = out.reshape(ntiles, nblocks * 34, T_STREAMS).swapaxes(1, 2) \
-             .reshape(ntiles * T_STREAMS, nblocks * 34)
+        out = out[:, : W]  # drop padded-chunk rows / trim to nwords
+    # (ntiles, W, 8, 128) -> (N, W)
+    out = out.reshape(ntiles, W, T_STREAMS).swapaxes(1, 2) \
+             .reshape(ntiles * T_STREAMS, W)
     if pad:
         out = out[:N]
-    return out.reshape(batch_shape + (nblocks * 34,))
+    return out.reshape(batch_shape + (W,))

@@ -292,10 +292,11 @@ def sample_uniform(seed_words, counter, n: int, q,
     base = base_words[..., :n]
     rejected = base >= max_multiple
 
-    # Extra-draw queue: counters counter+1 .. counter+CAP; value = first word.
+    # Extra-draw queue: counters counter+1 .. counter+CAP; value = first
+    # word (nwords=1: only that word is materialized from each draw).
     cap = queue_cap if queue_cap is not None else uniform_queue_cap(n)
     qcounters = _c_offsets(counter, 1 + jnp.arange(cap, dtype=U32))
-    qwords = shake256_words(seed_words, qcounters, 1)
+    qwords = shake256_words(seed_words, qcounters, 1, nwords=1)
     qvals = qwords[..., 0]
     qacc = qvals < max_multiple
 
@@ -313,7 +314,7 @@ def _ternary_block(seed_words, counter, count_here: int):
 
     qcounters = _c_offsets(counter,
                            1 + jnp.arange(TERNARY_QUEUE_CAP, dtype=U32))
-    qwords = shake256_words(seed_words, qcounters, 1)
+    qwords = shake256_words(seed_words, qcounters, 1, nwords=1)
     qvals = qwords[..., 0] & 0xFF  # first byte of each 1-byte refill
     qacc = qvals < 0xFE
 
