@@ -308,8 +308,8 @@ def sample_uniform(seed_words, counter, n: int, q,
 
 def _ternary_block(seed_words, counter, count_here: int):
     """One 96-byte ternary block + its rejection queue (sample.c:223-241)."""
-    base_words = shake256_words(seed_words, counter, 1)
-    base_bytes = _words_to_bytes(base_words[..., :24])  # 96 bytes
+    base_words = shake256_words(seed_words, counter, 1, nwords=24)
+    base_bytes = _words_to_bytes(base_words)  # 96 bytes
     rejected = base_bytes >= 0xFE
 
     qcounters = _c_offsets(counter,
@@ -378,8 +378,8 @@ def sample_cbd(seed_words, counter, n: int):
     """
     nfills = -(-n // 16)
     fcounters = _c_offsets(counter, jnp.arange(nfills, dtype=U32))
-    words = shake256_words(seed_words, fcounters, 1)
-    by = _words_to_bytes(words[..., :24])  # (..., nfills, 96)
+    words = shake256_words(seed_words, fcounters, 1, nwords=24)
+    by = _words_to_bytes(words)  # (..., nfills, 96)
     by = by.reshape(by.shape[:-2] + (nfills * 16, 6))[..., :n, :]
     hw = _popcount8(by)
     val = (hw[..., 0] + hw[..., 1] + _popcount8(by[..., 2] & 0x1F)
